@@ -1,0 +1,161 @@
+"""Configuration pytrees for the TPU-native mycelium + FEA pipeline.
+
+The reference keeps all parameters as module-level constants with no config
+system (reference: src/mycelium_sim_2D.py:23-41, src/fea_solver.py:14-28).
+Here every run is parameterized by two frozen dataclasses whose defaults
+reproduce the reference constants exactly, and which serialize to JSON into
+each results directory (closing the §5.6 config gap noted in SURVEY.md).
+
+All fields are static (Python numbers) so a config instance can be closed
+over by jit-compiled functions without retracing hazards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class GrowthConfig:
+    """Parameters of the stochastic hyphal growth model.
+
+    Defaults mirror reference src/mycelium_sim_2D.py:23-41 (2D variant).
+    Use :func:`growth_3d_config` for the 3D variant's overrides
+    (reference: src/mycelium_sim.py:21-48).
+    """
+
+    seed: int = 42                     # mycelium_sim_2D.py:16
+    h0: float = 0.05                   # mm, segment length
+    dt: float = 0.01                   # days
+    lambda_angle: float = math.pi / 6  # max angular perturbation
+    p_branch: float = 0.5              # branching probability
+    c_g: float = 1e-7                  # mol/mm, cost of growth
+    diffusion: float = 3.456           # mm/day, internal diffusion coeff D
+    m_cap: float = 2e-6                # mol/mm, max substrate per mm
+    omega0: float = 5e-6               # mol, total initial internal substrate
+    t_steps: int = 150                 # number of growth steps
+    anastomosis_tol: float = 1e-3      # mm
+    wall_thickness: float = 0.05       # mm
+    dish_size: float = 5.0             # mm
+    height: float = 0.1                # mm (z extent of the dish volume)
+    h0_per_point: int = 10             # hyphae per inoculum site
+    substrate_width: float = 5.0       # mm (y extent of substrate cuboid)
+    dist_inoculum: float = 0.5         # mm grid spacing of inoculum points
+    inoculum_nx: int = 5               # inoculum grid (2D variant)
+    inoculum_ny: int = 5
+    three_d: bool = False              # full-sphere directions + z-walls
+    substrate_e0: float = 2e-6         # mol, initial cuboid nutrient E
+    substrate_mu: float = 1e8          # uptake coefficient mu
+
+    # --- TPU-native additions (static shapes / kernel knobs) ---
+    max_segments: int = 1 << 14        # fixed segment capacity (slots)
+    max_hyphae: int = 1 << 13          # fixed hypha capacity
+    voxel_size: float = 0.1            # neighbor-grid cell size (call-site value,
+                                       # mycelium_sim_2D.py:661 — NOT the 0.2 class default)
+    max_per_cell: int = 64             # static cap on segments gathered per grid cell
+    dtype: str = "float32"
+
+    @property
+    def n_inoculum(self) -> int:
+        return 6 if self.three_d else self.inoculum_nx * self.inoculum_ny
+
+
+def growth_3d_config(**overrides) -> GrowthConfig:
+    """The 3D variant's parameter set (reference: src/mycelium_sim.py:21-48,585-600)."""
+    base = dict(
+        t_steps=25,
+        anastomosis_tol=5e-3,
+        substrate_width=2.0,
+        three_d=True,
+    )
+    base.update(overrides)
+    return GrowthConfig(**base)
+
+
+@dataclass(frozen=True)
+class FeaConfig:
+    """Parameters of the quasi-static tensile pull test.
+
+    Defaults mirror reference src/fea_solver.py:14-28. ``area`` and ``moi``
+    are derived exactly as the reference derives A and I.
+    """
+
+    e_mod: float = 2500.0              # MPa, Young's modulus
+    d: float = 2e-4                    # mm, fiber outer diameter
+    t: float = 1e-6                    # mm, wall thickness
+    n_steps: int = 40
+    displacement_max: float = 0.02     # mm (archived test_* runs used 0.06 — see
+                                       # SURVEY.md §2.4; use archive_parity_config())
+    max_strain: float = 0.018
+    grip_length: float = 1.5           # mm, grip selection tolerance
+    reg: float = 1e-12                 # diagonal regularization (fea_solver.py:125)
+
+    # --- solver knobs (TPU-native; replaces PETSc -ksp_type/-pc_type) ---
+    solver: str = "cg"                 # 'cg' | 'bicgstab'
+    precond: str = "block_jacobi"      # 'block_jacobi' | 'jacobi' | 'none'
+    operator: str = "ell"              # 'ell' (gather-only SpMV) | 'scatter' | 'bcoo'
+    rtol: float = 1e-8                 # CG relative residual tolerance
+    atol: float = 0.0
+    max_iter: int = 20000
+    warm_start: bool = True            # reuse previous ramp step's solution
+    dtype: str = "float32"
+
+    @property
+    def area(self) -> float:
+        # A = 3.14*((d/2)^2 - (d/2 - t)^2)     (fea_solver.py:17)
+        return 3.14 * ((self.d / 2) ** 2 - (self.d / 2 - self.t) ** 2)
+
+    @property
+    def moi(self) -> float:
+        # I = A*0.001                          (fea_solver.py:20)
+        return self.area * 0.001
+
+    @property
+    def max_stress(self) -> float:
+        return self.e_mod * self.max_strain
+
+
+def archive_parity_config(**overrides) -> FeaConfig:
+    """Config matching the archived results/test_* runs.
+
+    The archived fixtures were generated with DISPLACEMENT_MAX=0.06 and grips
+    on the extreme nodes only (SURVEY.md §2.4: per-step dy = 0.06/39 and
+    interior nodes displace linearly), not with fea_solver.py's current
+    defaults.
+    """
+    base = dict(displacement_max=0.06, grip_length=0.5, dtype="float64",
+                rtol=1e-12)
+    base.update(overrides)
+    return FeaConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# serialization
+# ---------------------------------------------------------------------------
+
+def save_config(cfg, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump({"type": type(cfg).__name__, **dataclasses.asdict(cfg)}, f,
+                  indent=2)
+
+
+def load_config(path: str):
+    with open(path) as f:
+        data = json.load(f)
+    kind = data.pop("type")
+    cls = {"GrowthConfig": GrowthConfig, "FeaConfig": FeaConfig}[kind]
+    return cls(**data)
+
+
+def save_run_configs(out_dir: str, growth: GrowthConfig | None = None,
+                     fea: FeaConfig | None = None) -> None:
+    """Serialize the configs that produced a results/sim_* directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    if growth is not None:
+        save_config(growth, os.path.join(out_dir, "growth_config.json"))
+    if fea is not None:
+        save_config(fea, os.path.join(out_dir, "fea_config.json"))

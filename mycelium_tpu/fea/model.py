@@ -1,0 +1,195 @@
+"""FEA model: static mesh data, grip masks, and the sparse operator layouts.
+
+Replaces the reference's per-step global assembly (reference component C16,
+src/fea_solver.py:74-106: a Python COO triple loop rebuilt every ramp step —
+9.1 s of its 39.5 s profile) with data prepared ONCE per mesh:
+
+- factored element geometry (see elements.py),
+- an ELL-style node→incident-element table so K·u is gather-only (TPU
+  scatters serialize on duplicate indices; gathers vectorize),
+- grip masks (reference C17 grip selection: |y − y_extreme| < GRIP_LENGTH,
+  src/fea_solver.py:207-211).
+
+Per-step "assembly" then degenerates to masking fractured elements — the
+sparsity pattern and all index maps are static for the whole ramp, which is
+what lets XLA compile one program for all 40 steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import FeaConfig
+from .elements import ElementGeometry, element_geometry
+
+
+class FeaModel(NamedTuple):
+    coords: jnp.ndarray        # (N, 3)
+    conn: jnp.ndarray          # (E, 2) int32
+    geom: ElementGeometry
+    # ELL gather layout: for node i, incident[i, d] is an element index whose
+    # force contributes to i with sign[i, d] (+1 if i is n1, -1 if n2);
+    # padding entries point at the sentinel row E (zero force) with sign 0.
+    incident: jnp.ndarray      # (N, deg_max) int32
+    sign: jnp.ndarray          # (N, deg_max) dtype
+    neighbor: jnp.ndarray      # (N, deg_max) int32 — other endpoint of
+                               # incident[i, d]; padding points at sentinel N
+    top_nodes: jnp.ndarray     # (N,) bool — grip masks
+    bot_nodes: jnp.ndarray     # (N,) bool
+    free_nodes: jnp.ndarray    # (N,) bool  (~top & ~bot)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_elems(self) -> int:
+        return self.conn.shape[0]
+
+    @property
+    def n_dof(self) -> int:
+        return 3 * self.coords.shape[0]
+
+
+def _build_incidence(conn: np.ndarray, n_nodes: int):
+    """Host-side ELL table build (static per mesh)."""
+    n_elems = conn.shape[0]
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(deg, conn[:, 0], 1)
+    np.add.at(deg, conn[:, 1], 1)
+    deg_max = max(int(deg.max()) if n_nodes else 0, 1)
+    incident = np.full((n_nodes, deg_max), n_elems, dtype=np.int32)
+    sign = np.zeros((n_nodes, deg_max), dtype=np.float64)
+    neighbor = np.full((n_nodes, deg_max), n_nodes, dtype=np.int32)
+    # vectorized fill: each element contributes one (node, slot) entry per
+    # endpoint; slots are assigned by stable-sorting endpoints by node id
+    ends = np.concatenate([conn[:, 0], conn[:, 1]]).astype(np.int64)
+    elem = np.concatenate([np.arange(n_elems), np.arange(n_elems)])
+    sgn = np.concatenate([np.ones(n_elems), -np.ones(n_elems)])
+    other = np.concatenate([conn[:, 1], conn[:, 0]]).astype(np.int64)
+    order = np.argsort(ends, kind="stable")
+    sorted_nodes = ends[order]
+    offsets = np.zeros(n_nodes + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(np.bincount(ends, minlength=n_nodes))
+    slot = np.arange(2 * n_elems) - offsets[sorted_nodes]
+    incident[sorted_nodes, slot] = elem[order]
+    sign[sorted_nodes, slot] = sgn[order]
+    neighbor[sorted_nodes, slot] = other[order]
+    return incident, sign, neighbor
+
+
+def build_model(coords: np.ndarray, conn: np.ndarray,
+                cfg: FeaConfig) -> FeaModel:
+    """Prepare all static solve data for a mesh.
+
+    Grip selection (reference src/fea_solver.py:207-211): nodes within
+    cfg.grip_length of y_max are the top grip, within grip_length of y_min
+    the bottom grip. When a node qualifies for both, bottom wins — the
+    reference builds its BC dict top-first so bottom entries overwrite
+    (src/fea_solver.py:229-242).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    conn_np = np.asarray(conn, dtype=np.int32).reshape(-1, 2)
+    dtype = jnp.dtype(cfg.dtype)
+
+    y = coords[:, 1]
+    y_min, y_max = float(y.min()), float(y.max())
+    top = np.abs(y - y_max) < cfg.grip_length
+    bot = np.abs(y - y_min) < cfg.grip_length
+    top = top & ~bot  # bottom precedence on overlap
+    free = ~(top | bot)
+
+    incident, sign, neighbor = _build_incidence(conn_np, coords.shape[0])
+
+    coords_j = jnp.asarray(coords, dtype=dtype)
+    conn_j = jnp.asarray(conn_np)
+    geom = element_geometry(coords_j, conn_j, cfg)
+    return FeaModel(
+        coords=coords_j,
+        conn=conn_j,
+        geom=geom,
+        incident=jnp.asarray(incident),
+        sign=jnp.asarray(sign, dtype=dtype),
+        neighbor=jnp.asarray(neighbor),
+        top_nodes=jnp.asarray(top),
+        bot_nodes=jnp.asarray(bot),
+        free_nodes=jnp.asarray(free),
+    )
+
+
+def apply_stiffness(model: FeaModel, u_nodes: jnp.ndarray,
+                    active: jnp.ndarray,
+                    operator: str = "ell") -> jnp.ndarray:
+    """Matrix-free K·u on node-major displacement (N,3) -> force (N,3).
+
+    This is the rebuild's SpMV: the TPU-native replacement for PETSc MatMult
+    (reference src/fea_petsc.cpp:360-363). 'ell' computes per-element end
+    forces then reduces them with the gather-only incidence table; 'scatter'
+    uses segment-style scatter-add (kept for cross-checking).
+    """
+    from .elements import element_forces
+    f = element_forces(u_nodes, model.conn, model.geom, active)   # (E,3)
+    if operator == "scatter":
+        out = jnp.zeros_like(u_nodes)
+        out = out.at[model.conn[:, 0]].add(f)
+        out = out.at[model.conn[:, 1]].add(-f)
+        return out
+    # ELL gather: pad a zero sentinel row, then reduce over incident slots
+    f_pad = jnp.concatenate([f, jnp.zeros((1, 3), dtype=f.dtype)], axis=0)
+    gathered = f_pad[model.incident]                  # (N, deg_max, 3)
+    return jnp.sum(model.sign[:, :, None] * gathered, axis=1)
+
+
+def diag_blocks(model: FeaModel, active: jnp.ndarray,
+                cfg: FeaConfig,
+                free_nodes: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-node 3x3 diagonal blocks of the BC'd operator.
+
+    Free nodes get their stiffness diagonal block + reg·I; grip nodes are
+    identity (the BC'd operator acts as identity there). Used by the
+    block-Jacobi preconditioner — the TPU-shaped stand-in for PETSc's
+    ICC/BJACOBI setups (reference src/fea_petsc.cpp:336-339).
+    """
+    n = model.geom.n
+    nnT = n[:, :, None] * n[:, None, :]
+    eye = jnp.eye(3, dtype=n.dtype)
+    blk = (model.geom.k_ax[:, None, None] * nnT
+           + model.geom.k_bd[:, None, None] * (eye - nnT))
+    blk = blk * active[:, None, None].astype(blk.dtype)
+    out = jnp.zeros((model.n_nodes, 3, 3), dtype=blk.dtype)
+    out = out.at[model.conn[:, 0]].add(blk)
+    out = out.at[model.conn[:, 1]].add(blk)
+    out = out + jnp.asarray(cfg.reg, blk.dtype) * eye
+    free = (model.free_nodes if free_nodes is None else free_nodes)
+    return jnp.where(free[:, None, None], out, eye)
+
+
+def invert_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Batched scale-stabilized 3x3 adjugate inverse (vmap-free, fused)."""
+    scale = jnp.max(jnp.abs(blocks), axis=(1, 2), keepdims=True)
+    scale = jnp.maximum(scale, jnp.asarray(1e-300 if blocks.dtype ==
+                                           jnp.float64 else 1e-30,
+                                           blocks.dtype))
+    b = blocks / scale
+    a00, a01, a02 = b[:, 0, 0], b[:, 0, 1], b[:, 0, 2]
+    a10, a11, a12 = b[:, 1, 0], b[:, 1, 1], b[:, 1, 2]
+    a20, a21, a22 = b[:, 2, 0], b[:, 2, 1], b[:, 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c10, c11, c12], axis=-1),
+        jnp.stack([c20, c21, c22], axis=-1),
+    ], axis=1)
+    return adj / (det[:, None, None] * scale)

@@ -1,0 +1,228 @@
+"""The quasi-static tensile pull test (reference component C25).
+
+40-step displacement ramp, dy = ±DISPLACEMENT_MAX·step/(N_STEPS−1): solve
+K·U = F under grip BCs, compute reactions with the pre-BC stiffness
+(SURVEY.md §2.5.10), evaluate axial strains on the undeformed geometry,
+deactivate elements with |strain| > MAX_STRAIN, record the force-displacement
+curve, and stop early once the network has fully fractured (reference
+src/fea_solver.py:186-335, src/fea_petsc.cpp:156-537).
+
+Two drivers:
+- run_ramp: Python loop around one jitted step — supports the reference's
+  early stop and streams records to host (CSV writers);
+- run_ramp_scan: single fully-jitted lax.scan over all steps — used for
+  benchmarking and as the sharded multi-chip entry (no host sync per step).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FeaConfig
+from .elements import element_strain
+from .model import FeaModel, apply_stiffness, build_model
+from .solve import solve_displacement
+
+
+class RampResult(NamedTuple):
+    stress_record: np.ndarray    # (n_rec, E)
+    active_record: np.ndarray    # (n_rec, E) bool
+    disp_record: np.ndarray      # (n_rec, n_dof) DOF order [n0x,n0y,n0z,...]
+    force_disp: np.ndarray       # (n_rec, 2) [2*dy, total_force]
+    solve_seconds: np.ndarray    # (n_rec,)
+    cg_iters: np.ndarray         # (n_rec,) iterations per solve
+    total_seconds: float
+
+
+def _step_factors(cfg: FeaConfig, step):
+    factor = step / (cfg.n_steps - 1)
+    return cfg.displacement_max * factor, -cfg.displacement_max * factor
+
+
+def anchored_mask_host(conn: np.ndarray, active: np.ndarray,
+                       grip: np.ndarray) -> np.ndarray:
+    """Nodes reachable from a grip through active elements (host-side BFS
+    via scipy connected components). Unreachable nodes form fracture islands
+    whose exact solution is zero — the solver pins them (see solve.py)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    n = grip.shape[0]
+    act = conn[active.astype(bool)]
+    adj = coo_matrix((np.ones(len(act)), (act[:, 0], act[:, 1])),
+                     shape=(n, n))
+    _, labels = connected_components(adj, directed=False)
+    grip_labels = np.unique(labels[grip])
+    return np.isin(labels, grip_labels)
+
+
+def anchored_mask_device(model: FeaModel, active: jnp.ndarray) -> jnp.ndarray:
+    """Device-side grip-reachability by monotone label propagation over the
+    ELL neighbor table (runs inside jit for the scan driver; O(graph
+    diameter) sweeps, each a single gather)."""
+    grip = jnp.logical_or(model.top_nodes, model.bot_nodes)
+    act_pad = jnp.concatenate([active, jnp.zeros((1,), bool)])
+    link_ok = act_pad[model.incident]                      # (N, deg)
+
+    def cond(c):
+        return c[1]
+
+    def body(c):
+        anch, _ = c
+        anch_pad = jnp.concatenate([anch, jnp.zeros((1,), bool)])
+        nb = jnp.logical_and(anch_pad[model.neighbor], link_ok)
+        new = jnp.logical_or(grip, jnp.any(nb, axis=1))
+        return new, jnp.any(new != anch)
+
+    anch, _ = jax.lax.while_loop(cond, body, (grip, jnp.asarray(True)))
+    return anch
+
+
+def ramp_step(model: FeaModel, cfg: FeaConfig, active, x0, dy_top, dy_bot,
+              anchored=None):
+    """One ramp step: solve -> reactions -> stress -> fracture."""
+    res = solve_displacement(model, active, dy_top, dy_bot, x0, cfg,
+                             anchored)
+    u = res.x                                            # (N,3)
+    f_react = apply_stiffness(model, u, active, cfg.operator)
+    total_force = jnp.sum(jnp.where(model.top_nodes, f_react[:, 1], 0.0))
+    strain = element_strain(u, model.conn, model.geom)
+    stress = jnp.where(active, cfg.e_mod * strain, 0.0)
+    active_new = jnp.logical_and(active,
+                                 jnp.abs(strain) <= cfg.max_strain)
+    return u, stress, active_new, total_force, res.iters, res.resnorm
+
+
+def run_ramp(coords, conn, cfg: FeaConfig,
+             model: Optional[FeaModel] = None,
+             verbose: bool = False) -> RampResult:
+    t0 = time.time()
+    if model is None:
+        model = build_model(coords, conn, cfg)
+    dtype = model.coords.dtype
+
+    step_jit = jax.jit(partial(ramp_step, model, cfg))
+
+    conn_np = np.asarray(model.conn)
+    grip_np = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))
+    active_np = np.ones(model.n_elems, dtype=bool)
+    anchored = jnp.asarray(anchored_mask_host(conn_np, active_np, grip_np))
+
+    active = jnp.ones((model.n_elems,), dtype=bool)
+    u_prev = jnp.zeros((model.n_nodes, 3), dtype=dtype)
+    prev_factor = 0.0
+
+    stress_rec, active_rec, disp_rec, fd_rec = [], [], [], []
+    solve_secs, iters_rec = [], []
+
+    for step in range(cfg.n_steps):
+        dy_top, dy_bot = _step_factors(cfg, step)
+        # warm start: scale the previous solution by the ramp ratio (the
+        # response is linear between fracture events)
+        factor = step / (cfg.n_steps - 1)
+        if cfg.warm_start and prev_factor > 0:
+            x0 = u_prev * (factor / prev_factor)
+        else:
+            x0 = jnp.zeros_like(u_prev)
+        ts = time.time()
+        u, stress, active_new, total_force, iters, resnorm = step_jit(
+            active, x0, jnp.asarray(dy_top, dtype),
+            jnp.asarray(dy_bot, dtype), anchored)
+        u.block_until_ready()
+        solve_secs.append(time.time() - ts)
+
+        stress_rec.append(np.asarray(stress))
+        active_rec.append(np.asarray(active_new))
+        disp_rec.append(np.asarray(u).reshape(-1))
+        fd_rec.append([dy_top - dy_bot, float(total_force)])
+        iters_rec.append(int(iters))
+        if verbose:
+            print(f"step {step + 1}/{cfg.n_steps} dy={dy_top:.5f} "
+                  f"iters={int(iters)} res={float(resnorm):.3e} "
+                  f"active={int(np.asarray(active_new).sum())}")
+
+        active_new_np = np.asarray(active_new)
+        if not np.array_equal(active_new_np, np.asarray(active)):
+            # fracture changed the topology: refresh grip reachability
+            anchored = jnp.asarray(
+                anchored_mask_host(conn_np, active_new_np, grip_np))
+        u_prev, active, prev_factor = u, active_new, factor
+        if int(active_new_np.sum()) == 0:
+            break  # early stop on full fracture (fea_solver.py:293-295)
+
+    return RampResult(
+        stress_record=np.stack(stress_rec),
+        active_record=np.stack(active_rec),
+        disp_record=np.stack(disp_rec),
+        force_disp=np.asarray(fd_rec, dtype=np.float64),
+        solve_seconds=np.asarray(solve_secs),
+        cg_iters=np.asarray(iters_rec, dtype=np.int64),
+        total_seconds=time.time() - t0,
+    )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _scan_ramp(model: FeaModel, cfg: FeaConfig):
+    dtype = model.coords.dtype
+    factors = (jnp.arange(cfg.n_steps, dtype=dtype) / (cfg.n_steps - 1))
+
+    def body(carry, factor):
+        active, u_prev, prev_factor, anchored = carry
+        dy_top = cfg.displacement_max * factor
+        scale = jnp.where(prev_factor > 0, factor
+                          / jnp.where(prev_factor > 0, prev_factor, 1.0), 0.0)
+        x0 = u_prev * scale if cfg.warm_start else jnp.zeros_like(u_prev)
+        u, stress, active_new, total_force, iters, _ = ramp_step(
+            model, cfg, active, x0, dy_top, -dy_top, anchored)
+        # refresh grip reachability only when fracture changed the topology
+        anchored = jax.lax.cond(
+            jnp.any(active_new != active),
+            lambda: anchored_mask_device(model, active_new),
+            lambda: anchored)
+        carry = (active_new, u, factor, anchored)
+        return carry, (stress, active_new, u.reshape(-1),
+                       jnp.stack([2 * dy_top, total_force]), iters)
+
+    init = (jnp.ones((model.n_elems,), dtype=bool),
+            jnp.zeros((model.n_nodes, 3), dtype=dtype),
+            jnp.zeros((), dtype),
+            anchored_mask_device(model, jnp.ones((model.n_elems,),
+                                                 dtype=bool)))
+    _, out = jax.lax.scan(body, init, factors)
+    return out
+
+
+def run_ramp_scan(coords, conn, cfg: FeaConfig,
+                  model: Optional[FeaModel] = None) -> RampResult:
+    """Fully-jitted ramp: one XLA program for all steps (no early stop —
+    after full fracture the remaining solves are trivial identity solves)."""
+    t0 = time.time()
+    if model is None:
+        model = build_model(coords, conn, cfg)
+    stress, active, disp, fd, iters = _scan_ramp(model, cfg)
+    jax.block_until_ready(stress)
+    total = time.time() - t0
+    return RampResult(
+        stress_record=np.asarray(stress),
+        active_record=np.asarray(active),
+        disp_record=np.asarray(disp),
+        force_disp=np.asarray(fd, dtype=np.float64),
+        solve_seconds=np.full((cfg.n_steps,), np.nan),
+        cg_iters=np.asarray(iters, dtype=np.int64),
+        total_seconds=total,
+    )
+
+
+def truncate_after_fracture(res: RampResult) -> RampResult:
+    """Cut scan-mode records at the early-stop point the Python-loop driver
+    (and the reference) would have produced: records up to and including the
+    step where the last element fractured."""
+    n_active = res.active_record.sum(axis=1)
+    dead = np.nonzero(n_active == 0)[0]
+    n_rec = (dead[0] + 1) if len(dead) else len(n_active)
+    return RampResult(*(x[:n_rec] for x in res[:6]), res.total_seconds)

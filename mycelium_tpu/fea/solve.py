@@ -1,0 +1,178 @@
+"""Krylov solvers: preconditioned CG and BiCGStab (reference C18/C19).
+
+Replaces SciPy spsolve (reference src/fea_solver.py:112-135) and the PETSc
+KSP solvers (src/fea_petsc.cpp:323-357: CG+ICC; src/fea_petsc_parallel.cpp:
+336-339: CG+Block-Jacobi). All state lives in (N,3) node-major arrays and
+every iteration is a handful of fused VPU passes plus one SpMV — there is no
+host round-trip inside the loop (`lax.while_loop`), so one jit compilation
+covers any iteration count.
+
+Preconditioners:
+  'block_jacobi' — exact per-node 3x3 block inverse (BJACOBI with the block
+                   size PETSc would pick for 3-DOF nodes);
+  'jacobi'       — scalar diagonal;
+  'none'.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FeaConfig
+from .model import FeaModel, diag_blocks, invert_blocks
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray          # (N,3) solution
+    iters: jnp.ndarray      # () int32
+    resnorm: jnp.ndarray    # () final |r|
+    converged: jnp.ndarray  # () bool
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+def make_preconditioner(model: FeaModel, active: jnp.ndarray,
+                        cfg: FeaConfig,
+                        free_nodes: jnp.ndarray | None = None) -> Callable:
+    if cfg.precond == "none":
+        return lambda r: r
+    blocks = diag_blocks(model, active, cfg, free_nodes)
+    if cfg.precond == "jacobi":
+        d = jnp.stack([blocks[:, 0, 0], blocks[:, 1, 1], blocks[:, 2, 2]],
+                      axis=1)
+        inv_d = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
+        return lambda r: r * inv_d
+    inv_blocks = invert_blocks(blocks)
+    return lambda r: jnp.einsum("nij,nj->ni", inv_blocks, r)
+
+
+def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+        precond: Callable, rtol: float, atol: float,
+        max_iter: int, bnorm=None) -> SolveResult:
+    """Preconditioned conjugate gradients on the SPD BC'd operator.
+
+    ``bnorm`` lets the caller scale rtol by the *condensed* RHS (free rows
+    only) — the full b carries the prescribed values on identity rows, whose
+    much larger norm would make the tolerance artificially loose.
+    """
+    if bnorm is None:
+        bnorm = jnp.sqrt(_dot(b, b))
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r0 = b - operator(x0)
+    z0 = precond(r0)
+    rz0 = _dot(r0, z0)
+    state0 = (x0, r0, z0, z0, rz0, jnp.sqrt(_dot(r0, r0)),
+              jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        _, _, _, _, _, rnorm, k = s
+        return jnp.logical_and(k < max_iter, rnorm > tol)
+
+    def body(s):
+        x, r, z, p, rz, _, k = s
+        ap = operator(p)
+        pap = _dot(p, ap)
+        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = _dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, jnp.sqrt(_dot(r, r)), k + 1)
+
+    x, r, _, _, _, rnorm, k = jax.lax.while_loop(cond, body, state0)
+    return SolveResult(x=x, iters=k, resnorm=rnorm, converged=rnorm <= tol)
+
+
+def bicgstab(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+             precond: Callable, rtol: float, atol: float,
+             max_iter: int, bnorm=None) -> SolveResult:
+    """Right-preconditioned BiCGStab — the 'bcgs' leg of the reference's
+    solver sweep (src/fea_petsc_solverAndPC.cpp:221)."""
+    if bnorm is None:
+        bnorm = jnp.sqrt(_dot(b, b))
+    tol = jnp.maximum(rtol * bnorm, atol)
+    eps = jnp.asarray(1e-300 if b.dtype == jnp.float64 else 1e-30, b.dtype)
+
+    r0 = b - operator(x0)
+    rhat = r0
+    state0 = (x0, r0, r0, jnp.zeros_like(b), jnp.ones((), b.dtype),
+              jnp.ones((), b.dtype), jnp.ones((), b.dtype),
+              jnp.sqrt(_dot(r0, r0)), jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        return jnp.logical_and(jnp.logical_and(s[-1] < max_iter,
+                                               s[-2] > tol),
+                               jnp.isfinite(s[-2]))
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, _, k = s
+        rho_new = _dot(rhat, r)
+        beta = (rho_new / jnp.where(jnp.abs(rho) > eps, rho, eps)) * \
+               (alpha / jnp.where(jnp.abs(omega) > eps, omega, eps))
+        p = r + beta * (p - omega * v)
+        phat = precond(p)
+        v = operator(phat)
+        denom = _dot(rhat, v)
+        alpha = rho_new / jnp.where(jnp.abs(denom) > eps, denom, eps)
+        s_vec = r - alpha * v
+        shat = precond(s_vec)
+        t = operator(shat)
+        tt = _dot(t, t)
+        # guard the stabilization step: when the half-iterate s is already
+        # converged (or t degenerates to ~0), skip it — otherwise omega's
+        # quotient of underflowed dots can poison the state with inf/nan
+        s_small = jnp.sqrt(_dot(s_vec, s_vec)) <= tol
+        omega_raw = _dot(t, s_vec) / jnp.where(tt > eps, tt, eps)
+        omega_ok = jnp.logical_and(jnp.isfinite(omega_raw),
+                                   jnp.logical_not(s_small))
+        omega = jnp.where(omega_ok, omega_raw, jnp.zeros_like(omega_raw))
+        x = x + alpha * phat + omega * shat
+        r = s_vec - omega * t
+        return (x, r, p, v, rho_new, alpha, omega,
+                jnp.sqrt(_dot(r, r)), k + 1)
+
+    out = jax.lax.while_loop(cond, body, state0)
+    x, r = out[0], out[1]
+    rnorm, k = out[-2], out[-1]
+    return SolveResult(x=x, iters=k, resnorm=rnorm, converged=rnorm <= tol)
+
+
+SOLVERS = {"cg": pcg, "bicgstab": bicgstab}
+
+
+def solve_displacement(model: FeaModel, active: jnp.ndarray,
+                       dy_top, dy_bot, x0: jnp.ndarray,
+                       cfg: FeaConfig,
+                       anchored: jnp.ndarray | None = None) -> SolveResult:
+    """One boundary-value solve of the ramp: K_ff u_f = −K_fk u_k.
+
+    ``anchored`` (n_nodes,) marks nodes still connected to a grip through
+    active elements; unanchored free nodes are pinned to zero, which is
+    exactly the direct solver's answer for them (their b is 0) and keeps the
+    effective operator's spectrum away from the reg·I floor.
+    """
+    from .bc import bc_operator, bc_rhs, prescribed_values
+    free = model.free_nodes if anchored is None \
+        else jnp.logical_and(model.free_nodes, anchored)
+    u_k = prescribed_values(model, dy_top, dy_bot)
+    operator = bc_operator(model, active, cfg, free)
+    b = bc_rhs(model, active, u_k, cfg, free)
+    precond = make_preconditioner(model, active, cfg, free)
+    # start from the warm start with BC/pinned values overwritten so the
+    # prescribed rows carry zero initial residual
+    x0 = jnp.where(free[:, None], x0, u_k)
+    # tolerance scales with the condensed RHS (free rows only)
+    bnorm = jnp.sqrt(_dot(jnp.where(free[:, None], b, 0.0),
+                          jnp.where(free[:, None], b, 0.0)))
+    solver = SOLVERS[cfg.solver]
+    return solver(operator, b, x0, precond, cfg.rtol, cfg.atol, cfg.max_iter,
+                  bnorm=bnorm)

@@ -1,0 +1,169 @@
+"""Output writers reproducing the reference's CSV contracts (SURVEY.md §2.3).
+
+Growth outputs (reference src/mycelium_sim_2D.py:686,723-727, and the C++
+snapshot contract mycelium_sim_2D.cpp:463-475):
+  results/sim_<ts>/mycelium_growth_stats.csv
+  results/sim_<ts>/nodes.csv + elements.csv
+  results/sim_<ts>/snapshots/step_%04d.csv
+
+FEA outputs (reference src/fea_solver.py:297-316, fea_petsc.cpp:433-516):
+  <dir>/fea_results/{stress_record.csv, active_elements.csv,
+                     node_displacements.csv, force_displacement.csv,
+                     runtime.txt, solve_runtime.txt}
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+GROWTH_STATS_COLUMNS = ["hyphae", "segments", "active_tips", "passive_tips",
+                        "anastomosed", "branches", "total_length_mm", "step"]
+
+
+def _write_csv(path: str, header: Sequence[str], rows: np.ndarray,
+               fmt=repr) -> None:
+    with open(path, "w") as f:
+        f.write(",".join(map(str, header)) + "\n")
+        for row in rows:
+            f.write(",".join(fmt(v) for v in row) + "\n")
+
+
+def write_growth_stats(out_dir: str, history: List[Dict]) -> str:
+    """mycelium_growth_stats.csv with the Python variant's column order
+    (hyphae,...,total_length_mm,step — mycelium_sim_2D.py:233-241,686)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "mycelium_growth_stats.csv")
+    with open(path, "w") as f:
+        f.write(",".join(GROWTH_STATS_COLUMNS) + "\n")
+        for st in history:
+            vals = [st[c] for c in GROWTH_STATS_COLUMNS]
+            f.write(",".join(str(int(v)) if c != "total_length_mm"
+                             else repr(float(v))
+                             for c, v in zip(GROWTH_STATS_COLUMNS, vals))
+                    + "\n")
+    return path
+
+
+def dedup_nodes(starts: np.ndarray, ends: np.ndarray, decimals: int = 6):
+    """Segment endpoints -> (nodes (n,3), conn (e,2)) with first-appearance
+    node ids, deduplicating coordinates rounded to 6 decimals
+    (reference export_geometry, mycelium_sim_2D.py:693-728).
+    """
+    from ..native import meshio_native
+    pts = np.empty((2 * len(starts), 3), dtype=np.float64)
+    pts[0::2] = starts   # interleave so first-appearance order matches the
+    pts[1::2] = ends     # reference's per-segment (start, end) visit order
+    if meshio_native.available():
+        out = meshio_native.dedup_nodes(pts, decimals)
+        if out is not None:
+            nodes, inv = out
+            conn = inv.reshape(-1, 2).astype(np.int64)
+            return nodes, conn
+    key = np.round(pts, decimals)
+    # np.unique sorts; remap to first-appearance order like the dict-based
+    # reference implementation
+    _, first_idx, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    ids = rank[inverse]
+    nodes = pts[np.sort(first_idx)]
+    conn = ids.reshape(-1, 2)
+    return nodes, conn
+
+
+def export_geometry(out_dir: str, starts: np.ndarray, ends: np.ndarray) -> str:
+    """Write nodes.csv / elements.csv (contract: mycelium_sim_2D.py:723-727)."""
+    os.makedirs(out_dir, exist_ok=True)
+    nodes, conn = dedup_nodes(starts, ends)
+    with open(os.path.join(out_dir, "nodes.csv"), "w") as f:
+        f.write("node_id,x,y,z\n")
+        for i, (x, y, z) in enumerate(nodes):
+            f.write(f"{i},{x!r},{y!r},{z!r}\n")
+    with open(os.path.join(out_dir, "elements.csv"), "w") as f:
+        f.write("elem_id,n1,n2\n")
+        for i, (a, b) in enumerate(conn):
+            f.write(f"{i},{a},{b}\n")
+    return out_dir
+
+
+def write_snapshot_csv(snapshot_dir: str, step: int, starts: np.ndarray,
+                       ends: np.ndarray, intensity: np.ndarray) -> str:
+    """Per-step snapshot CSV matching the C++ growth sim's contract
+    (mycelium_sim_2D.cpp:463-475): columns x1,y1,x2,y2,intensity where
+    intensity = I*L un-normalized."""
+    os.makedirs(snapshot_dir, exist_ok=True)
+    path = os.path.join(snapshot_dir, f"step_{step:04d}.csv")
+    with open(path, "w") as f:
+        f.write("x1,y1,x2,y2,intensity\n")
+        for (x1, y1), (x2, y2), c in zip(starts[:, :2], ends[:, :2],
+                                         intensity):
+            f.write(f"{x1!r},{y1!r},{x2!r},{y2!r},{c!r}\n")
+    return path
+
+
+def write_fea_records(fea_dir: str, stress_record: np.ndarray,
+                      active_record: np.ndarray, disp_record: np.ndarray,
+                      force_disp: np.ndarray) -> None:
+    """The four FEA record CSVs (fea_solver.py:297-316).
+
+    stress_record: (n_rec, n_elems); active_record: (n_rec, n_elems) bool;
+    disp_record: (n_rec, n_dof); force_disp: (n_rec, 2).
+    """
+    os.makedirs(fea_dir, exist_ok=True)
+    n_rec, n_elems = stress_record.shape
+    steps = np.arange(1, n_rec + 1)
+
+    elem_cols = [f"elem_{i}" for i in range(n_elems)]
+    with open(os.path.join(fea_dir, "stress_record.csv"), "w") as f:
+        f.write(",".join(elem_cols + ["step"]) + "\n")
+        for r, s in zip(stress_record, steps):
+            f.write(",".join(repr(float(v)) for v in r) + f",{s}\n")
+
+    # Python variant writes True/False (fea_solver.py:302-304)
+    with open(os.path.join(fea_dir, "active_elements.csv"), "w") as f:
+        f.write(",".join(elem_cols + ["step"]) + "\n")
+        for r, s in zip(active_record, steps):
+            f.write(",".join("True" if v else "False" for v in r) + f",{s}\n")
+
+    # Numeric DOF-order columns 0..n_dof-1 (fea_solver.py:307-312)
+    n_dof = disp_record.shape[1]
+    with open(os.path.join(fea_dir, "node_displacements.csv"), "w") as f:
+        f.write(",".join(str(i) for i in range(n_dof)) + ",step\n")
+        for r, s in zip(disp_record, steps):
+            f.write(",".join(repr(float(v)) for v in r) + f",{s}\n")
+
+    with open(os.path.join(fea_dir, "force_displacement.csv"), "w") as f:
+        f.write("total_displacement,total_force\n")
+        for d, force in force_disp:
+            f.write(f"{float(d)!r},{float(force)!r}\n")
+
+
+def write_runtime(fea_dir: str, seconds: float) -> None:
+    """runtime.txt (fea_solver.py:331-333)."""
+    os.makedirs(fea_dir, exist_ok=True)
+    with open(os.path.join(fea_dir, "runtime.txt"), "w") as f:
+        f.write(f"Total FEA runtime: {seconds:.6f} seconds\n")
+
+
+def write_solve_runtimes(fea_dir: str, per_step_seconds: Sequence[float]
+                         ) -> None:
+    """solve_runtime.txt per-step solver timing (fea_solver.py:213-215,260)."""
+    os.makedirs(fea_dir, exist_ok=True)
+    with open(os.path.join(fea_dir, "solve_runtime.txt"), "w") as f:
+        f.write("step, runtime_s\n")
+        for i, t in enumerate(per_step_seconds):
+            f.write(f"{i + 1}, {t:.6f}\n")
+
+
+def write_sweep_results(path: str, rows: List[tuple]) -> None:
+    """runtime_results.csv: step,solver,pc,trial,runtime_ms
+    (fea_petsc_solverAndPC.cpp:221-223,371-375)."""
+    with open(path, "w") as f:
+        f.write("step,solver,pc,trial,runtime_ms\n")
+        for step, solver, pc, trial, ms in rows:
+            f.write(f"{step},{solver},{pc},{trial},{ms:.6f}\n")
