@@ -1,0 +1,94 @@
+"""Headline benchmark: cold PCG solve time on the reference's largest
+archived system (sim_20251117_181147: 7,375 nodes / 22,125 DOF).
+
+Baseline (BASELINE.md): PETSc KSP cg+icc, median 164.0 ms per solve on a
+Great Lakes CPU node (best of the reference's 15-combo sweep, n=200).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value is our median cold-solve wall time in ms on the available device
+(TPU when run under the driver) and vs_baseline = 164.0 / value
+(higher = faster than the reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS = 164.0
+MESH_DIR = "/root/reference/results/sim_20251117_181147"
+
+
+def synthetic_mesh(n_target_nodes: int, seed: int = 0):
+    """Fallback mycelium-like mesh if the reference archive is absent:
+    a jittered grid graph with diagonal braces (bounded node degree)."""
+    rng = np.random.default_rng(seed)
+    side = int(np.sqrt(n_target_nodes))
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.stack([xs.ravel() * 0.05, ys.ravel() * 0.05,
+                       np.zeros(side * side)], axis=1)
+    coords[:, :2] += rng.normal(scale=0.005, size=(side * side, 2))
+    idx = lambda i, j: i * side + j  # noqa: E731
+    conn = []
+    for i in range(side):
+        for j in range(side):
+            if i + 1 < side:
+                conn.append([idx(i, j), idx(i + 1, j)])
+            if j + 1 < side:
+                conn.append([idx(i, j), idx(i, j + 1)])
+            if i + 1 < side and j + 1 < side and rng.random() < 0.3:
+                conn.append([idx(i, j), idx(i + 1, j + 1)])
+    return coords, np.asarray(conn, np.int32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mycelium_tpu.config import FeaConfig
+    from mycelium_tpu.fea.model import build_model
+    from mycelium_tpu.fea.ramp import anchored_mask_host, jit_ramp_step
+
+    if os.path.isdir(MESH_DIR):
+        from mycelium_tpu.io import read_mesh_dir
+        coords, conn = read_mesh_dir(MESH_DIR)
+    else:
+        coords, conn = synthetic_mesh(7375)
+
+    cfg = FeaConfig(dtype="float32", rtol=1e-6, warm_start=False,
+                    operator="chain")
+    model = build_model(coords, conn, cfg)
+    grip = np.asarray(model.top_nodes) | np.asarray(model.bot_nodes)
+    anchored = jnp.asarray(anchored_mask_host(
+        np.asarray(model.conn), np.ones(model.n_elems, bool), grip))
+
+    def step_fn(*a):
+        return jit_ramp_step(model, cfg, *a)
+    active = jnp.ones((model.n_elems,), bool)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.dtype(cfg.dtype))
+    dy = jnp.asarray(cfg.displacement_max, x0.dtype)   # full-ramp system
+
+    # warm-up (compile)
+    step_fn(active, x0, dy, -dy, anchored)[0].block_until_ready()
+
+    times = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        step_fn(active, x0, dy, -dy, anchored)[0].block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    value = float(np.median(times))
+
+    print(json.dumps({
+        "metric": "pcg_cold_solve_22125dof_median",
+        "value": round(value, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / value, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

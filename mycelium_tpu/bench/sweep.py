@@ -1,0 +1,100 @@
+"""Solver x preconditioner sweep harness (reference component C20).
+
+The reference benchmarks 3 KSP types x 5 PETSc preconditioners x 5 trials
+per ramp step and writes step,solver,pc,trial,runtime_ms
+(src/fea_petsc_solverAndPC.cpp:221-223,326-391). The TPU rebuild sweeps its
+solver variants (cg, bicgstab) x (block_jacobi, jacobi, none) over the same
+ramp with the same CSV schema. Unlike the reference — which leaks per-trial
+vectors and keeps only the last combo's solution for the physics
+(SURVEY.md §2.5.14) — the physics here always advances with the primary
+config's solution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FeaConfig
+from ..fea.model import build_model
+from ..fea.ramp import anchored_mask_host, ramp_step
+from ..io.writers import write_sweep_results
+
+DEFAULT_SOLVERS = ("cg", "bicgstab")
+DEFAULT_PCS = ("block_jacobi", "jacobi", "none")
+
+
+def run_solver_sweep(coords, conn, cfg: FeaConfig,
+                     solvers: Sequence[str] = DEFAULT_SOLVERS,
+                     pcs: Sequence[str] = DEFAULT_PCS,
+                     trials: int = 5,
+                     out_csv: Optional[str] = None,
+                     verbose: bool = False) -> List[Tuple]:
+    """Returns rows (step, solver, pc, trial, runtime_ms); the timed kernel
+    is one full cold-start solve (x0 = 0) of the current ramp system."""
+    model = build_model(coords, conn, cfg)
+    dtype = model.coords.dtype
+
+    # one jitted solver per combo; physics advances with the primary cfg.
+    # the model rides along as a pytree argument (closure constants are
+    # pathological on the axon backend — see ramp.jit_ramp_step)
+    from ..fea.ramp import jit_ramp_step
+
+    def make_fn(ccfg):
+        return lambda *a: jit_ramp_step(model, ccfg, *a)
+
+    combos = {}
+    for s in solvers:
+        for pc in pcs:
+            ccfg = dataclasses.replace(cfg, solver=s, precond=pc,
+                                       warm_start=False)
+            combos[(s, pc)] = make_fn(ccfg)
+    primary = make_fn(cfg)
+
+    conn_np = np.asarray(model.conn)
+    grip_np = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))
+    active = jnp.ones((model.n_elems,), dtype=bool)
+    anchored = jnp.asarray(anchored_mask_host(
+        conn_np, np.ones(model.n_elems, bool), grip_np))
+    u_prev = jnp.zeros((model.n_nodes, 3), dtype=dtype)
+    prev_factor = 0.0
+    zeros = jnp.zeros((model.n_nodes, 3), dtype=dtype)
+
+    rows: List[Tuple] = []
+    for step in range(cfg.n_steps):
+        factor = step / (cfg.n_steps - 1)
+        dy = jnp.asarray(cfg.displacement_max * factor, dtype)
+        for (s, pc), fn in combos.items():
+            # warm the jit cache outside the timed region
+            fn(active, zeros, dy, -dy, anchored)[0].block_until_ready()
+            for trial in range(trials):
+                t0 = time.perf_counter()
+                fn(active, zeros, dy, -dy, anchored)[0].block_until_ready()
+                ms = (time.perf_counter() - t0) * 1e3
+                rows.append((step, s, pc, trial, ms))
+        if verbose:
+            last = [r for r in rows if r[0] == step]
+            best = min(last, key=lambda r: r[4])
+            print(f"step {step}: best {best[1]}+{best[2]} {best[4]:.2f} ms")
+
+        # advance physics with the primary configuration
+        x0 = u_prev * (factor / prev_factor) \
+            if (cfg.warm_start and prev_factor > 0) else zeros
+        u, _, active_new, _, _, _ = primary(active, x0, dy, -dy, anchored)
+        active_new_np = np.asarray(active_new)
+        if not np.array_equal(active_new_np, np.asarray(active)):
+            anchored = jnp.asarray(anchored_mask_host(conn_np, active_new_np,
+                                                      grip_np))
+        u_prev, active, prev_factor = u, active_new, factor
+        if active_new_np.sum() == 0:
+            break
+
+    if out_csv is not None:
+        write_sweep_results(out_csv, rows)
+    return rows

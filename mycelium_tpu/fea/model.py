@@ -40,6 +40,8 @@ class FeaModel(NamedTuple):
     top_nodes: jnp.ndarray     # (N,) bool — grip masks
     bot_nodes: jnp.ndarray     # (N,) bool
     free_nodes: jnp.ndarray    # (N,) bool  (~top & ~bot)
+    chain: object = None       # Optional[chain.ChainPlan] — the
+                               # gather-free SpMV layout (cfg.operator='chain')
 
     @property
     def n_nodes(self) -> int:
@@ -104,6 +106,19 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
 
     incident, sign, neighbor = _build_incidence(conn_np, coords.shape[0])
 
+    chain_plan = None
+    if cfg.operator == "chain":
+        from .chain import build_chain_plan
+        # factored element data in f64 on host for exact table build
+        d = coords[conn_np[:, 1]] - coords[conn_np[:, 0]]
+        length = np.linalg.norm(d, axis=1)
+        l_safe = np.maximum(length, 1e-12)
+        n_host = d / l_safe[:, None]
+        k_ax_host = (cfg.e_mod * cfg.area) / l_safe
+        k_bd_host = 12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3)
+        chain_plan = build_chain_plan(coords, conn_np, n_host, k_ax_host,
+                                      k_bd_host, dtype)
+
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)
     geom = element_geometry(coords_j, conn_j, cfg)
@@ -117,6 +132,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         top_nodes=jnp.asarray(top),
         bot_nodes=jnp.asarray(bot),
         free_nodes=jnp.asarray(free),
+        chain=chain_plan,
     )
 
 

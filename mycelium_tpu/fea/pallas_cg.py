@@ -1,0 +1,320 @@
+"""Whole-solve Pallas kernel: one launch per PCG solve.
+
+Motivation (measured on the axon-tunneled TPU v5e): an XLA while_loop CG
+pays fixed per-op overhead every iteration (~60-100 us/iter for the ~15
+small kernels of a CG body at 22k DOF), so an 870-iteration solve costs
+~90 ms even though the arithmetic takes microseconds. This kernel runs the
+ENTIRE preconditioned CG loop inside a single Mosaic program with all
+operands resident in VMEM, and keeps the per-iteration op count minimal.
+
+Layout: the chain-permuted displacement field lives in ONE stacked array
+(3·NB, 128) — component plane k occupies rows [k·NB, (k+1)·NB), node
+r·128+c of plane k at row k·NB+r lane c. NB is chosen so at least one
+trailing node per plane is padding, which makes every cross-row carry land
+on zero-stiffness slots. In this layout the whole operator requires NO
+gathers and very few ops:
+
+- chain edges (consecutive nodes after the chain permutation): ONE lane
+  roll + ONE row roll for all three components at once;
+- n·d contraction: elementwise + a 3-fold tile;
+- the 3x3 block-Jacobi preconditioner: 3 plane-rolls and 3 multiplies
+  (coefficient planes pre-shuffled so plane-roll j aligns component
+  (i+j)%3 with row-plane i);
+- jump edges: one-hot matmuls on the MXU, all three components fused into
+  (J, NB)x(NB, 384) selections, chunked over J to bound VMEM. With
+  Precision.HIGHEST (bf16x3 passes) the selections are f32-exact, keeping
+  the operator symmetric.
+
+The reference analogue is the PETSc KSPSolve call (src/fea_petsc.cpp:341);
+this kernel is its TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import FeaConfig
+from .chain import BLOCK, ChainPlan
+from .solve import SolveResult
+
+JUMP_CHUNK = 512
+
+
+class PackedChainData(NamedTuple):
+    """Static stacked-plane tables (built once per mesh)."""
+    cn: jnp.ndarray       # (3*NB, 128) chain direction component planes
+    ckax: jnp.ndarray     # (3*NB, 128) chain EA/L, tiled over planes
+    ckbd: jnp.ndarray     # (3*NB, 128)
+    a_blk: jnp.ndarray    # (Jp, NB) one-hot over node blocks (endpoint a)
+    b_blk: jnp.ndarray    # (Jp, NB)
+    a_lane: jnp.ndarray   # (Jp, 128) one-hot over lanes within the block
+    b_lane: jnp.ndarray   # (Jp, 128)
+    jscal: jnp.ndarray    # (Jp, 128): lanes 0..4 = [n_x, n_y, n_z, kax, kbd]
+
+    @property
+    def nb(self) -> int:
+        return self.cn.shape[0] // 3
+
+
+def plan_nb(n_nodes: int) -> int:
+    """Blocks per plane, always leaving >= 1 padding node per plane so
+    cross-row/cross-plane roll carries only touch zero-stiffness slots."""
+    return n_nodes // BLOCK + 1
+
+
+def _pack_plane(v, nb):
+    """(N,) -> (NB, 128)."""
+    pad = nb * BLOCK - v.shape[0]
+    return jnp.pad(v, (0, pad)).reshape(nb, BLOCK)
+
+
+def pack_vec3(v, nb):
+    """(N, 3) -> (3*NB, 128) stacked component planes."""
+    return jnp.concatenate([_pack_plane(v[:, k], nb) for k in range(3)],
+                           axis=0)
+
+
+def unpack_vec3(p, n, nb):
+    return jnp.stack([p[k * nb:(k + 1) * nb].reshape(-1)[:n]
+                      for k in range(3)], axis=1)
+
+
+def _tile3(p):
+    return jnp.concatenate([p, p, p], axis=0)
+
+
+def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
+    nb = plan_nb(n_nodes)
+    f32 = jnp.float32
+    jp = plan.a_blk.shape[0]
+    jpad = max((jp + JUMP_CHUNK - 1) // JUMP_CHUNK, 1) * JUMP_CHUNK - jp
+
+    def padj(x):
+        x = np.asarray(x, np.float32)
+        return jnp.asarray(np.pad(x, ((0, jpad), (0, 0))))
+
+    jscal = np.zeros((jp, BLOCK), np.float32)
+    jscal[:, 0:3] = np.asarray(plan.jump_n, np.float32)
+    jscal[:, 3] = np.asarray(plan.jump_kax, np.float32)
+    jscal[:, 4] = np.asarray(plan.jump_kbd, np.float32)
+    # a_blk columns sized to this nb (ChainPlan's NB may be one smaller)
+    a_blk = np.asarray(plan.a_blk, np.float32)
+    b_blk = np.asarray(plan.b_blk, np.float32)
+    if a_blk.shape[1] < nb:
+        extra = nb - a_blk.shape[1]
+        a_blk = np.pad(a_blk, ((0, 0), (0, extra)))
+        b_blk = np.pad(b_blk, ((0, 0), (0, extra)))
+    return PackedChainData(
+        cn=pack_vec3(plan.chain_n.astype(f32), nb),
+        ckax=_tile3(_pack_plane(plan.chain_kax.astype(f32), nb)),
+        ckbd=_tile3(_pack_plane(plan.chain_kbd.astype(f32), nb)),
+        a_blk=padj(a_blk),
+        b_blk=padj(b_blk),
+        a_lane=padj(plan.a_lane),
+        b_lane=padj(plan.b_lane),
+        jscal=padj(jscal),
+    )
+
+
+def _cg_kernel(nb, jp, max_iter, rtol, reg,
+               uk_ref, x0_ref, freem_ref, cact_ref, jact_ref,
+               cn_ref, ckax_ref, ckbd_ref,
+               a_blk_ref, b_blk_ref, a_lane_ref, b_lane_ref, jscal_ref,
+               c3_ref,
+               x_out_ref, stats_ref):
+    f32 = jnp.float32
+    s_rows = 3 * nb
+    lane = lax.broadcasted_iota(jnp.int32, (s_rows, BLOCK), 1)
+    last_lane = lane == BLOCK - 1
+    first_lane = lane == 0
+    hi = lax.Precision.HIGHEST
+    n_chunks = jp // JUMP_CHUNK
+
+    freem = freem_ref[:]
+    pinm = 1.0 - freem
+    cact = cact_ref[:]                 # (3*NB, 128), tiled over planes
+    cn = cn_ref[:] * cact
+    ckax = ckax_ref[:] * cact
+    ckbd = ckbd_ref[:] * cact
+    uk = uk_ref[:]
+    c3 = (c3_ref[0 * s_rows:1 * s_rows],
+          c3_ref[1 * s_rows:2 * s_rows],
+          c3_ref[2 * s_rows:3 * s_rows])
+
+    def roll(x, shift, axis):
+        return pltpu.roll(x, shift % x.shape[axis], axis)
+
+    def shift_up(x):
+        """y[node i] = x[node i+1], all planes at once; cross-row (and
+        cross-plane) carries land on padding slots with zero stiffness."""
+        a = roll(x, -1, 1)
+        b = roll(a, -1, 0)
+        return jnp.where(last_lane, b, a)
+
+    def shift_down(x):
+        a = roll(x, 1, 1)
+        b = roll(a, 1, 0)
+        return jnp.where(first_lane, b, a)
+
+    def plane_sum(s):
+        """sum the three planes -> (NB, 128)."""
+        return (s[0 * nb:1 * nb] + s[1 * nb:2 * nb] + s[2 * nb:3 * nb])
+
+    def matvec_raw(u):
+        # ---- chain part ----
+        d = u - shift_up(u)
+        nd = _tile3(plane_sum(cn * d))
+        f = ckax * nd * cn + ckbd * (d - nd * cn)
+        out = f - shift_down(f)
+
+        # ---- jump part: chunked one-hot MXU selections, per plane ----
+        u_planes = (u[0 * nb:1 * nb], u[1 * nb:2 * nb], u[2 * nb:3 * nb])
+
+        def chunk_body(ci, out):
+            sl = pl.ds(ci * JUMP_CHUNK, JUMP_CHUNK)
+            a_blk = a_blk_ref[sl, :]
+            b_blk = b_blk_ref[sl, :]
+            a_lane = a_lane_ref[sl, :]
+            b_lane = b_lane_ref[sl, :]
+            jscal = jscal_ref[sl, :]
+            jact1 = jact_ref[sl, :][:, 0:1]
+            jn = (jscal[:, 0:1], jscal[:, 1:2], jscal[:, 2:3])
+            jkax = jscal[:, 3:4] * jact1
+            jkbd = jscal[:, 4:5] * jact1
+
+            dj = []
+            for k in range(3):
+                ta = jnp.dot(a_blk, u_planes[k], precision=hi,
+                             preferred_element_type=f32)       # (JC, 128)
+                tb = jnp.dot(b_blk, u_planes[k], precision=hi,
+                             preferred_element_type=f32)
+                dj.append(jnp.sum(ta * a_lane - tb * b_lane, axis=1,
+                                  keepdims=True))              # (JC, 1)
+            ndj = jn[0] * dj[0] + jn[1] * dj[1] + jn[2] * dj[2]
+            contract0 = (((0,), (0,)), ((), ()))
+            diffs = []
+            for k in range(3):
+                fj = jkax * ndj * jn[k] + jkbd * (dj[k] - ndj * jn[k])
+                diffs.append(
+                    lax.dot_general(a_blk, a_lane * fj, contract0,
+                                    precision=hi,
+                                    preferred_element_type=f32)
+                    - lax.dot_general(b_blk, b_lane * fj, contract0,
+                                      precision=hi,
+                                      preferred_element_type=f32))
+            return out + jnp.concatenate(diffs, axis=0)
+
+        return lax.fori_loop(0, n_chunks, chunk_body, out)
+
+    def matvec(u):
+        uf = freem * u
+        return freem * (matvec_raw(uf) + reg * uf) + pinm * u
+
+    def precond(r):
+        # z[plane i] = sum_j C_j[plane i] * r[plane (i+j)%3]
+        return (c3[0] * r + c3[1] * roll(r, -nb, 0)
+                + c3[2] * roll(r, -2 * nb, 0))
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    kuk = matvec_raw(uk)
+    b = pinm * uk - freem * kuk
+    bnorm2 = dot(freem * b, freem * b)
+    tol2 = rtol * rtol * bnorm2
+
+    x0 = freem * x0_ref[:] + pinm * uk
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    rz0 = dot(r0, z0)
+    rr0 = dot(r0, r0)
+
+    def cond(s):
+        return jnp.logical_and(s[5] < max_iter, s[4] > tol2)
+
+    def body(s):
+        x, r, z, p, rr, k, rz = s
+        ap = matvec(p)
+        pap = dot(p, ap)
+        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, z, p, dot(r, r), k + 1, rz_new)
+
+    x, r, z, p, rr, k, rz = lax.while_loop(
+        cond, body,
+        (x0, r0, z0, z0, rr0, jnp.asarray(0, jnp.int32), rz0))
+
+    x_out_ref[:] = x
+    sl = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    stats = jnp.where(sl == 0, k.astype(f32),
+                      jnp.where(sl == 1, jnp.sqrt(rr),
+                                jnp.where(sl == 2, jnp.sqrt(tol2), 0.0)))
+    stats_ref[:] = stats
+
+
+def pallas_chain_solve(model, packed: PackedChainData, active,
+                       dy_top, dy_bot, x0, cfg: FeaConfig, anchored=None):
+    """Run one boundary-value solve in a single Pallas kernel (f32)."""
+    from .bc import prescribed_values
+    from .chain import plan_active_masks
+    from .model import diag_blocks, invert_blocks
+
+    plan = model.chain
+    n = model.n_nodes
+    nb = packed.nb
+    jp = packed.a_blk.shape[0]
+    f32 = jnp.float32
+
+    free = model.free_nodes if anchored is None \
+        else jnp.logical_and(model.free_nodes, anchored)
+    chain_act, jump_act = plan_active_masks(plan, active)
+    cact = _tile3(_pack_plane(chain_act.astype(f32), nb))
+    jact_col = jnp.pad(jump_act.astype(f32), (0, jp - jump_act.shape[0]))
+    jact = jnp.broadcast_to(jact_col[:, None], (jp, BLOCK))
+
+    u_k = prescribed_values(model, dy_top, dy_bot).astype(f32)
+    free3 = jnp.repeat(free[plan.perm].astype(f32)[:, None], 3, axis=1)
+    freem = pack_vec3(free3, nb)
+    uk_p = pack_vec3(u_k[plan.perm], nb)
+    x0_p = pack_vec3(x0.astype(f32)[plan.perm], nb)
+
+    inv_b = invert_blocks(diag_blocks(model, active, cfg,
+                                      free)).astype(f32)[plan.perm]
+    # C_j stacked so that plane-roll j aligns: C_j[plane i] = inv[:, i, (i+j)%3]
+    c3 = jnp.concatenate(
+        [pack_vec3(jnp.stack([inv_b[:, i, (i + j) % 3] for i in range(3)],
+                             axis=1), nb)
+         for j in range(3)], axis=0)
+
+    kernel = functools.partial(_cg_kernel, nb, jp, cfg.max_iter,
+                               np.float32(cfg.rtol), np.float32(cfg.reg))
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    x_p, stats = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((3 * nb, BLOCK), f32),
+                   jax.ShapeDtypeStruct((1, 128), f32)),
+        in_specs=[vmem() for _ in range(14)],
+        out_specs=(vmem(), vmem()),
+    )(uk_p, x0_p, freem, cact, jact,
+      packed.cn, packed.ckax, packed.ckbd,
+      packed.a_blk, packed.b_blk, packed.a_lane, packed.b_lane,
+      packed.jscal, c3)
+
+    x = unpack_vec3(x_p, n, nb)[plan.inv_perm]
+    iters = stats[0, 0].astype(jnp.int32)
+    rnorm = stats[0, 1]
+    return SolveResult(x=x.astype(model.coords.dtype), iters=iters,
+                       resnorm=rnorm, converged=rnorm <= stats[0, 2])

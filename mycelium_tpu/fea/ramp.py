@@ -98,6 +98,12 @@ def ramp_step(model: FeaModel, cfg: FeaConfig, active, x0, dy_top, dy_bot,
     return u, stress, active_new, total_force, res.iters, res.resnorm
 
 
+# the model is passed as a PYTREE ARGUMENT, never closed over: on the axon
+# TPU backend, large constants embedded in an executable are re-materialized
+# on every call (~1000x slowdown); cfg is hashable and static.
+jit_ramp_step = jax.jit(ramp_step, static_argnums=(1,))
+
+
 def run_ramp(coords, conn, cfg: FeaConfig,
              model: Optional[FeaModel] = None,
              verbose: bool = False) -> RampResult:
@@ -106,7 +112,8 @@ def run_ramp(coords, conn, cfg: FeaConfig,
         model = build_model(coords, conn, cfg)
     dtype = model.coords.dtype
 
-    step_jit = jax.jit(partial(ramp_step, model, cfg))
+    def step_jit(*args):
+        return jit_ramp_step(model, cfg, *args)
 
     conn_np = np.asarray(model.conn)
     grip_np = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))

@@ -1,0 +1,179 @@
+"""Multi-chip sharded solve: domain decomposition over a JAX device mesh.
+
+The TPU-native equivalent of the reference's MPI-parallel PETSc solver
+(reference component C21, src/fea_petsc_parallel.cpp:156-485): where PETSc
+row-partitions Mat/Vec over MPI ranks and runs CG with MPI_Allreduce dot
+products, this module shards nodes AND elements over a 1-D `jax.sharding`
+mesh axis and runs the same block-Jacobi PCG under `shard_map`:
+
+  MPI rank                      ->  mesh axis index
+  PETSc row partition           ->  node-block shard of u/b/diag-blocks
+  distributed MatMult + halo    ->  all_gather(u) + local element forces
+                                    + psum_scatter of node contributions
+  KSP CG MPI_Allreduce dots     ->  jax.lax.psum over the mesh axis
+  VecScatterToZero + MPI_Bcast  ->  (unnecessary: out_specs gather the
+                                    sharded solution directly)
+
+Collectives ride ICI when the mesh axis maps onto a TPU pod slice. The
+element force pass is the same factored kernel as the single-chip path, so
+1-chip and N-chip runs agree up to float associativity (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import FeaConfig
+from .bc import prescribed_values
+from .model import FeaModel, diag_blocks, invert_blocks
+from .solve import SolveResult
+
+
+def default_mesh(n_devices: Optional[int] = None,
+                 axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _pad_to(x, m, fill=0):
+    pad = (-x.shape[0]) % m
+    if pad == 0:
+        return x
+    filler = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, filler], axis=0)
+
+
+def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
+                      axis: str = "shard"):
+    """Build a jitted sharded solver: (active, dy_top, dy_bot, x0) ->
+    SolveResult with the full (N,3) solution on the host layout.
+
+    Elements and node rows are block-partitioned over the mesh axis
+    (PETSC_DECIDE-style even split, padded to a device multiple). Padded
+    elements carry zero stiffness and point at node 0; padded nodes are
+    pinned (free=False) with zero prescribed values, so they never
+    contribute.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = int(mesh.devices.size)
+    N = model.n_nodes
+    dtype = model.coords.dtype
+    Np = N + ((-N) % n_dev)
+
+    conn_p = _pad_to(model.conn, n_dev, 0)
+    n_geom = _pad_to(model.geom.n, n_dev, 0.0)
+    k_ax_p = _pad_to(model.geom.k_ax, n_dev, 0.0)   # zero-stiffness padding
+    k_bd_p = _pad_to(model.geom.k_bd, n_dev, 0.0)
+
+    spec1 = P(axis)
+    rep = P()
+
+    def body(conn_l, n_l, kax_l, kbd_l, active_l,
+             free_l, u_k_l, inv_b_l, x0_l):
+        """Per-shard CG. Local vectors are (Np/n_dev, 3); conn_l holds
+        GLOBAL node ids resolved against the all-gathered displacement."""
+        freef = free_l[:, None]
+        reg = jnp.asarray(cfg.reg, dtype)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), axis)
+
+        def matvec_k(u_l):
+            u_full = jax.lax.all_gather(u_l, axis, tiled=True)    # (Np,3)
+            u1 = u_full[conn_l[:, 0]]
+            u2 = u_full[conn_l[:, 1]]
+            d = u1 - u2
+            nd = jnp.sum(n_l * d, axis=1)
+            f = (kax_l * nd)[:, None] * n_l \
+                + kbd_l[:, None] * (d - nd[:, None] * n_l)
+            f = f * active_l[:, None].astype(f.dtype)
+            contrib = jnp.zeros((Np, 3), dtype)
+            contrib = contrib.at[conn_l[:, 0]].add(f)
+            contrib = contrib.at[conn_l[:, 1]].add(-f)
+            return jax.lax.psum_scatter(contrib, axis,
+                                        scatter_dimension=0, tiled=True)
+
+        def matvec(u_l):
+            v_l = jnp.where(freef, u_l, 0.0)
+            kv_l = matvec_k(v_l)
+            return jnp.where(freef, kv_l + reg * v_l, u_l)
+
+        def precond(r_l):
+            return jnp.einsum("nij,nj->ni", inv_b_l, r_l)
+
+        b_l = jnp.where(freef, -matvec_k(u_k_l), u_k_l)
+        bnorm = jnp.sqrt(pdot(jnp.where(freef, b_l, 0.0),
+                              jnp.where(freef, b_l, 0.0)))
+        tol = jnp.maximum(cfg.rtol * bnorm, cfg.atol)
+
+        x_l = jnp.where(freef, x0_l, u_k_l)
+        r = b_l - matvec(x_l)
+        z = precond(r)
+        rz = pdot(r, z)
+        state0 = (x_l, r, z, z, rz, jnp.sqrt(pdot(r, r)),
+                  jnp.asarray(0, jnp.int32))
+
+        def cond(s):
+            return jnp.logical_and(s[-1] < cfg.max_iter, s[-2] > tol)
+
+        def it(s):
+            x, r, z, p, rz, _, k = s
+            ap = matvec(p)
+            pap = pdot(p, ap)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0),
+                              0.0)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = precond(r)
+            rz_new = pdot(r, z)
+            beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0),
+                             0.0)
+            p = z + beta * p
+            return (x, r, z, p, rz_new, jnp.sqrt(pdot(r, r)), k + 1)
+
+        x, _, _, _, _, rnorm, k = jax.lax.while_loop(cond, it, state0)
+        return x, k, rnorm, rnorm <= tol
+
+    body_sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec1,) * 9,
+        out_specs=(spec1, rep, rep, rep),
+        check_rep=False,
+    )
+
+    # the model pytree and padded tables are jit ARGUMENTS (large closure
+    # constants are pathological on the axon backend — see ramp.py)
+    @jax.jit
+    def _solve(model_, tables, active, dy_top, dy_bot, x0, anchored):
+        conn_t, n_t, kax_t, kbd_t = tables
+        active_p = _pad_to(active, n_dev, False)
+        u_k_p = _pad_to(prescribed_values(model_, dy_top, dy_bot),
+                        n_dev, 0.0)
+        free = model_.free_nodes if anchored is None \
+            else jnp.logical_and(model_.free_nodes, anchored)
+        free_p = _pad_to(free, n_dev, False)
+        x0_p = _pad_to(x0, n_dev, 0.0)
+        inv_blocks_p = _pad_to(invert_blocks(diag_blocks(model_, active,
+                                                         cfg, free)),
+                               n_dev, 0.0)
+        x_p, iters, rnorm, conv = body_sharded(
+            conn_t, n_t, kax_t, kbd_t, active_p,
+            free_p, u_k_p, inv_blocks_p, x0_p)
+        return SolveResult(x=x_p[:N], iters=iters, resnorm=rnorm,
+                           converged=conv)
+
+    tables = (conn_p, n_geom, k_ax_p, k_bd_p)
+
+    def solve(active, dy_top, dy_bot, x0, anchored=None):
+        return _solve(model, tables, active, dy_top, dy_bot, x0, anchored)
+
+    return solve

@@ -164,6 +164,38 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
     free = model.free_nodes if anchored is None \
         else jnp.logical_and(model.free_nodes, anchored)
     u_k = prescribed_values(model, dy_top, dy_bot)
+
+    if cfg.operator == "chain" and model.chain is not None:
+        # run the Krylov loop entirely in chain-permuted node space — the
+        # per-iteration operator is then shift+MXU only (see chain.py);
+        # the permutation gathers are paid once per solve here
+        from .chain import chain_apply, plan_active_masks
+        plan = model.chain
+        chain_act, jump_act = plan_active_masks(plan, active)
+        free_p = free[plan.perm]
+        freef = free_p[:, None]
+        u_k_p = u_k[plan.perm]
+        x0_p = jnp.where(freef, x0[plan.perm], u_k_p)
+        reg = jnp.asarray(cfg.reg, u_k.dtype)
+
+        def operator(u):
+            uf = jnp.where(freef, u, 0.0)
+            ku = chain_apply(plan, chain_act, jump_act, uf)
+            return jnp.where(freef, ku + reg * uf, u)
+
+        b = jnp.where(freef,
+                      -chain_apply(plan, chain_act, jump_act, u_k_p),
+                      u_k_p)
+        inv_blocks = invert_blocks(diag_blocks(model, active, cfg,
+                                               free))[plan.perm]
+        precond = (lambda r: jnp.einsum("nij,nj->ni", inv_blocks, r)) \
+            if cfg.precond != "none" else (lambda r: r)
+        bnorm = jnp.sqrt(_dot(jnp.where(freef, b, 0.0),
+                              jnp.where(freef, b, 0.0)))
+        res = SOLVERS[cfg.solver](operator, b, x0_p, precond, cfg.rtol,
+                                  cfg.atol, cfg.max_iter, bnorm=bnorm)
+        return res._replace(x=res.x[plan.inv_perm])
+
     operator = bc_operator(model, active, cfg, free)
     b = bc_rhs(model, active, u_k, cfg, free)
     precond = make_preconditioner(model, active, cfg, free)

@@ -1,0 +1,280 @@
+"""Growth operators: substrate translocation, tip growth/branching, cuboid
+uptake, and wall enforcement — each a pure masked update over the
+fixed-capacity state (reference components C5, C7, C6, C10).
+
+Where the reference's semantics are inherently sequential, the deviation is
+deliberate and documented:
+
+- translocation (mycelium_sim_2D.py:275-310): the reference accumulates all
+  pairwise deltas then applies them one-by-one with a clamp after *each*
+  addition. Predecessor links are unique per (pred, succ) pair and each
+  segment has exactly one predecessor, so the only sequential effect is the
+  per-update clamp when a segment receives several updates (a pred with
+  multiple successors never occurs within a hypha; branch children carry no
+  pred link). We apply all deltas at once then clamp — identical except for
+  transient mid-apply clamping, which cannot trigger here because each
+  slot receives at most one +delta and one -delta, both already clamped.
+
+- uptake (mycelium_sim_2D.py:315-338): sequential drain in traversal order
+  is reproduced exactly with a while_loop in slot order (creation order
+  rather than the reference's hypha-grouped order — with a different RNG
+  stream, trajectories differ anyway; the contract is statistical parity,
+  the same contract the reference holds between its Python and C++ sims,
+  SURVEY.md §2.5.15). The loop exits once the cuboid's remaining E falls
+  below an epsilon floor instead of exactly 0 (E decays geometrically and
+  would otherwise never reach 0 in exact arithmetic).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GrowthConfig
+from .state import (ACTIVE, EMPTY, PASSIVE, EnvArrays, GrowthState,
+                    direction_from_angles, perturb_direction)
+
+UPTAKE_E_FLOOR = 1e-18  # mol; negligible vs the 5e-6 Omega0 budget
+
+
+def _gather(arr, idx, fill=0):
+    """Gather with -1/-out-of-range indices mapped to a fill value."""
+    safe = jnp.clip(idx, 0, arr.shape[0] - 1)
+    ok = (idx >= 0) & (idx < arr.shape[0])
+    out = arr[safe]
+    return jnp.where(ok if out.ndim == 1 else ok[..., None], out,
+                     jnp.asarray(fill, arr.dtype))
+
+
+def translocate(st: GrowthState, cfg: GrowthConfig) -> GrowthState:
+    """Diffusive exchange between predecessor and successor segments,
+    clamped so both stay in [0, M_cap] (mycelium_sim_2D.py:275-310). The
+    clamp adjusts the transferred delta itself, testing bounds in the
+    reference's elif order."""
+    m_cap = jnp.asarray(cfg.m_cap, st.sub.dtype)
+    L = st.length()
+    valid = (st.prev >= 0) & (st.state != EMPTY)
+    p = jnp.maximum(st.prev, 0)
+    lp = L[p]
+    denom = (L + lp) / 2.0
+    ok = valid & (denom > 0)
+    denom_safe = jnp.where(denom > 0, denom, 1.0)
+    sub_p = st.sub[p]
+    delta = cfg.dt * cfg.diffusion * (sub_p - st.sub) / denom_safe
+    new_s = st.sub + delta
+    new_p = sub_p - delta
+    # reference's elif chain (order matters):
+    delta_adj = jnp.where(
+        new_s < 0, -st.sub,
+        jnp.where(new_s > m_cap, m_cap - st.sub,
+                  jnp.where(new_p < 0, sub_p,
+                            jnp.where(new_p > m_cap, m_cap - sub_p, delta))))
+    delta_adj = jnp.where(ok, delta_adj, 0.0)
+    sub = st.sub + delta_adj
+    sub = sub.at[p].add(jnp.where(ok, -delta_adj, 0.0))
+    sub = jnp.clip(sub, 0.0, m_cap)
+    return st._replace(sub=sub)
+
+
+def grow(st: GrowthState, cfg: GrowthConfig, key) -> GrowthState:
+    """Apical extension and branching (mycelium_sim_2D.py:388-460).
+
+    Per active tip with enough substrate (I·L >= c_g·h0): spend the growth
+    cost, turn the tip passive, and append a new active segment continuing
+    in a perturbed direction; with probability P_branch (and 2x the cost
+    available) also spawn a branch child as a new hypha. Both new segments
+    receive half the parent's post-cost concentration — substrate is NOT
+    conserved here, faithfully to the reference (SURVEY.md §2.5.1).
+    """
+    N, H = st.capacity, st.tip.shape[0]
+    dtype = st.sub.dtype
+    k_branch, k_ext, k_child = jax.random.split(key, 3)
+
+    hyp_ids = jnp.arange(H, dtype=jnp.int32)
+    tip_slot = st.tip
+    hyp_valid = (hyp_ids < st.n_hyp) & (tip_slot >= 0)
+    t = jnp.maximum(tip_slot, 0)
+
+    tip_state = jnp.where(hyp_valid, st.state[t], EMPTY)
+    L_tip = jnp.linalg.norm(st.end[t] - st.start[t], axis=1)
+    avail = st.sub[t] * L_tip
+    cost = cfg.c_g * cfg.h0
+    can_grow = (tip_state == ACTIVE) & (avail >= cost)
+
+    u = jax.random.uniform(k_branch, (H,), dtype)
+    do_branch = can_grow & (u < cfg.p_branch) & (avail >= 2 * cost)
+
+    # slot allocation: extensions first (every grower gets one), then branch
+    # children; hypha ids for children allocated the same way
+    ext_off = jnp.cumsum(can_grow) - can_grow        # exclusive prefix sum
+    n_ext = jnp.sum(can_grow).astype(jnp.int32)
+    child_off = jnp.cumsum(do_branch) - do_branch
+    n_child = jnp.sum(do_branch).astype(jnp.int32)
+    ext_slot = st.n_seg + ext_off.astype(jnp.int32)
+    child_slot = st.n_seg + n_ext + child_off.astype(jnp.int32)
+    child_hyp = st.n_hyp + child_off.astype(jnp.int32)
+
+    overflow = (st.n_seg + n_ext + n_child > N) | (st.n_hyp + n_child > H)
+    valid_ext = can_grow & (ext_slot < N)
+    valid_child = do_branch & (child_slot < N) & (child_hyp < H)
+
+    # tip update: spend cost, become passive
+    total_cost = jnp.where(do_branch, 2 * cost, cost)
+    L_safe = jnp.where(L_tip > 0, L_tip, 1.0)
+    tip_sub_new = jnp.maximum(0.0, (avail - total_cost)) / L_safe
+    sub = st.sub.at[jnp.where(valid_ext, t, N)].set(
+        jnp.where(valid_ext, tip_sub_new, 0.0), mode="drop")
+    state = st.state.at[jnp.where(valid_ext, t, N)].set(PASSIVE, mode="drop")
+
+    # new directions (one perturbation stream for extensions, one for kids)
+    th_e, ph_e = perturb_direction(k_ext, st.theta[t], st.phi[t], cfg)
+    th_c, ph_c = perturb_direction(k_child, st.theta[t], st.phi[t], cfg)
+    tip_end = st.end[t]
+    dir_e = direction_from_angles(th_e, ph_e, cfg.three_d)
+    dir_c = direction_from_angles(th_c, ph_c, cfg.three_d)
+    end_e = tip_end + dir_e * cfg.h0
+    end_c = tip_end + dir_c * cfg.h0
+    child_sub = 0.5 * tip_sub_new  # both children get half the remaining I
+
+    def scatter(arr, slots, ok, vals):
+        idx = jnp.where(ok, slots, N)
+        return arr.at[idx].set(vals, mode="drop")
+
+    start = scatter(st.start, ext_slot, valid_ext, tip_end)
+    start = scatter(start, child_slot, valid_child, tip_end)
+    end = scatter(st.end, ext_slot, valid_ext, end_e)
+    end = scatter(end, child_slot, valid_child, end_c)
+    theta = scatter(st.theta, ext_slot, valid_ext, th_e)
+    theta = scatter(theta, child_slot, valid_child, th_c)
+    phi = scatter(st.phi, ext_slot, valid_ext, ph_e)
+    phi = scatter(phi, child_slot, valid_child, ph_c)
+    sub = scatter(sub, ext_slot, valid_ext, child_sub)
+    sub = scatter(sub, child_slot, valid_child, child_sub)
+    state = scatter(state, ext_slot, valid_ext,
+                    jnp.full((H,), ACTIVE, st.state.dtype))
+    state = scatter(state, child_slot, valid_child,
+                    jnp.full((H,), ACTIVE, st.state.dtype))
+    prev = scatter(st.prev, ext_slot, valid_ext, tip_slot)
+    prev = scatter(prev, child_slot, valid_child,
+                   jnp.full((H,), -1, jnp.int32))   # children start hyphae
+    hypha = scatter(st.hypha, ext_slot, valid_ext, hyp_ids)
+    hypha = scatter(hypha, child_slot, valid_child, child_hyp)
+
+    tip = st.tip.at[jnp.where(valid_ext, hyp_ids, H)].set(
+        jnp.where(valid_ext, ext_slot, -1), mode="drop")
+    tip = tip.at[jnp.where(valid_child, child_hyp, H)].set(
+        jnp.where(valid_child, child_slot, -1), mode="drop")
+
+    return st._replace(
+        start=start, end=end, theta=theta, phi=phi, sub=sub, state=state,
+        prev=prev, hypha=hypha, tip=tip,
+        n_seg=jnp.minimum(st.n_seg + n_ext + n_child, N).astype(jnp.int32),
+        n_hyp=jnp.minimum(st.n_hyp + n_child, H).astype(jnp.int32),
+        overflow=st.overflow | overflow,
+    )
+
+
+def _contains(center, size, p, eps=1e-12):
+    """Axis-aligned cuboid point test with the reference's 1e-12 slack
+    (mycelium_sim_2D.py:163-166). center/size: (3,), p: (...,3)."""
+    lo = center - 0.5 * size - eps
+    hi = center + 0.5 * size + eps
+    return jnp.all((p >= lo) & (p <= hi), axis=-1)
+
+
+def uptake(st: GrowthState, env: EnvArrays, cfg: GrowthConfig) -> GrowthState:
+    """Sequential nutrient transfer E -> I for segments whose endpoint lies
+    inside a substrate cuboid, draining E in traversal order
+    (mycelium_sim_2D.py:315-338)."""
+    m_cap = jnp.asarray(cfg.m_cap, st.sub.dtype)
+    sub = st.sub
+    env_e = st.env_e
+    n_cuboids = env.sub_center.shape[0]
+    for c in range(n_cuboids):   # static, tiny
+        mu = env.sub_mu[c]
+        in_c = _contains(env.sub_center[c], env.sub_size[c], st.end) & \
+            (st.state != EMPTY)
+
+        def cond(carry):
+            i, e, _ = carry
+            return (i < st.n_seg) & (e > UPTAKE_E_FLOOR)
+
+        def body(carry):
+            i, e, s = carry
+            si = s[i]
+            theta = cfg.dt * mu * e * si
+            theta = jnp.maximum(0.0, jnp.minimum(theta,
+                                                 jnp.minimum(m_cap - si, e)))
+            theta = jnp.where(in_c[i], theta, 0.0)
+            return i + 1, e - theta, s.at[i].set(si + theta)
+
+        _, e_left, sub = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), env_e[c], sub))
+        env_e = env_e.at[c].set(e_left)
+    return st._replace(sub=sub, env_e=env_e)
+
+
+def enforce_walls(st: GrowthState, env: EnvArrays, cfg: GrowthConfig,
+                  key) -> GrowthState:
+    """Project tips penetrating impenetrable cuboids tangentially along the
+    wall face, iterating up to 3 times for corners
+    (mycelium_sim_2D.py:340-383). Applies to the LAST segment of every
+    hypha regardless of state, and reactivates projected tips ('A') — both
+    faithful reference quirks (tip_segments() yields all tips; state is
+    reset at :380)."""
+    H = st.tip.shape[0]
+    N = st.capacity
+    W = env.wall_center.shape[0]
+    if W == 0:
+        return st
+    dtype = st.start.dtype
+    hyp_ids = jnp.arange(H, dtype=jnp.int32)
+    hyp_valid = (hyp_ids < st.n_hyp) & (st.tip >= 0)
+    t = jnp.maximum(st.tip, 0)
+
+    start = st.start[t]                       # (H,3)
+    end = st.end[t]
+    length = jnp.linalg.norm(end - start, axis=1)
+    touched = jnp.zeros((H,), bool)
+
+    for it in range(3):                       # reference max_iter=3
+        key, k_dir, k_tan = jax.random.split(key, 3)
+        inside = jnp.stack([_contains(env.wall_center[w], env.wall_size[w],
+                                      end) for w in range(W)], axis=1)
+        pen = jnp.any(inside, axis=1) & hyp_valid
+        w_first = jnp.argmax(inside, axis=1)          # first penetrated wall
+        c = env.wall_center[w_first]
+        half = env.wall_size[w_first] / 2.0
+        delta = end - c
+        overlap = jnp.abs(delta) - half
+        face = jnp.argmax(overlap, axis=1)
+        normal = jax.nn.one_hot(face, 3, dtype=dtype) * \
+            jnp.sign(jnp.take_along_axis(delta, face[:, None], axis=1))
+        d = end - start
+        dn = jnp.linalg.norm(d, axis=1, keepdims=True)
+        rnd = jax.random.normal(k_dir, (H, 3), dtype)
+        d = jnp.where(dn < 1e-12, rnd, d)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        slide = d - jnp.sum(d * normal, axis=1, keepdims=True) * normal
+        sn = jnp.linalg.norm(slide, axis=1, keepdims=True)
+        # fallback: random tangent with the normal component zeroed
+        tan = jax.random.normal(k_tan, (H, 3), dtype)
+        tan = tan * (1.0 - jnp.abs(normal))
+        slide = jnp.where(sn < 1e-12, tan, slide)
+        slide = slide / jnp.linalg.norm(slide, axis=1, keepdims=True)
+        new_end = start + slide * length[:, None]
+        end = jnp.where(pen[:, None], new_end, end)
+        touched = touched | pen
+
+    dirv = end - start
+    dn = jnp.maximum(jnp.linalg.norm(dirv, axis=1), 1e-30)
+    new_theta = jnp.arccos(jnp.clip(dirv[:, 2] / dn, -1.0, 1.0))
+    new_phi = jnp.arctan2(dirv[:, 1], dirv[:, 0])
+
+    idx = jnp.where(touched, t, N)
+    end_out = st.end.at[idx].set(end, mode="drop")
+    theta_out = st.theta.at[idx].set(new_theta, mode="drop")
+    phi_out = st.phi.at[idx].set(new_phi, mode="drop")
+    state_out = st.state.at[idx].set(ACTIVE, mode="drop")
+    return st._replace(end=end_out, theta=theta_out, phi=phi_out,
+                       state=state_out, key=key)

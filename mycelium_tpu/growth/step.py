@@ -1,0 +1,121 @@
+"""Fused growth step and drivers (reference component C13, the 150-step
+demo loop src/mycelium_sim_2D.py:630-691).
+
+Per-step op order matches the reference driver exactly
+(mycelium_sim_2D.py:667-673):
+  translocate -> grow/branch -> (rebuild cell index) -> anastomose ->
+  uptake -> walls -> stats.
+
+The cell index rebuild is folded into detect_anastomosis (it is the only
+consumer). One call to growth_step is one fully-jitted XLA program; the
+drivers differ only in where the loop lives:
+- run_growth: Python loop, streams per-step stats to host (for CSV output
+  and snapshots) — the shape of the reference demo;
+- run_growth_scan: lax.fori_loop entirely on device (benchmark path).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GrowthConfig
+from ..scenes import Environment, petri_dish
+from .neighbors import detect_anastomosis
+from .ops import enforce_walls, grow, translocate, uptake
+from .state import (ACTIVE, ANASTOMOSED, EMPTY, PASSIVE, EnvArrays,
+                    GrowthState, init_state)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def growth_step(st: GrowthState, env: EnvArrays,
+                cfg: GrowthConfig) -> GrowthState:
+    key, k_grow = jax.random.split(st.key)
+    st = st._replace(key=key)
+    st = translocate(st, cfg)
+    st = grow(st, cfg, k_grow)
+    st = detect_anastomosis(st, cfg)
+    st = uptake(st, env, cfg)
+    st = enforce_walls(st, env, cfg, st.key)
+    return st._replace(step=st.step + 1)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def summarize_device(st: GrowthState, cfg: GrowthConfig):
+    """Per-step network statistics (mycelium_sim_2D.py:201-242)."""
+    alive = st.state != EMPTY
+    return dict(
+        hyphae=st.n_hyp,
+        segments=jnp.sum(alive).astype(jnp.int32),
+        active_tips=jnp.sum(st.state == ACTIVE).astype(jnp.int32),
+        passive_tips=jnp.sum(st.state == PASSIVE).astype(jnp.int32),
+        anastomosed=jnp.sum(st.state == ANASTOMOSED).astype(jnp.int32),
+        branches=jnp.maximum(0, st.n_hyp - cfg.n_inoculum),
+        total_length_mm=jnp.sum(jnp.where(alive, st.length(), 0.0)),
+    )
+
+
+def summarize(st: GrowthState, cfg: GrowthConfig) -> Dict:
+    d = jax.device_get(summarize_device(st, cfg))
+    return {k: (float(v) if k == "total_length_mm" else int(v))
+            for k, v in d.items()}
+
+
+def run_growth(cfg: GrowthConfig, env: Environment | None = None,
+               seed: int | None = None,
+               on_step: Optional[Callable[[int, GrowthState], None]] = None,
+               verbose: bool = False):
+    """Python-loop driver: returns (final_state, env_arrays, history) where
+    history is the per-step stats list in reference column order."""
+    if env is None:
+        env = petri_dish(cfg)
+    st, ea = init_state(cfg, env, seed)
+    history: List[Dict] = []
+    for t in range(cfg.t_steps):
+        st = growth_step(st, ea, cfg)
+        stats = summarize(st, cfg)
+        stats["step"] = t
+        history.append(stats)
+        if verbose:
+            print(f"Step {t}: {stats}")
+        if on_step is not None:
+            on_step(t, st)
+    if bool(jax.device_get(st.overflow)):
+        import warnings
+        warnings.warn("growth capacity exhausted: increase "
+                      "GrowthConfig.max_segments/max_hyphae")
+    return st, ea, history
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _scan_growth(st: GrowthState, env: EnvArrays, cfg: GrowthConfig):
+    def body(carry, _):
+        st = growth_step(carry, env, cfg)
+        stats = summarize_device(st, cfg)
+        return st, stats
+
+    return jax.lax.scan(body, st, None, length=cfg.t_steps)
+
+
+def run_growth_scan(cfg: GrowthConfig, env: Environment | None = None,
+                    seed: int | None = None):
+    """Fully-on-device driver: one XLA program for the whole run; stats for
+    every step come back stacked."""
+    if env is None:
+        env = petri_dish(cfg)
+    st, ea = init_state(cfg, env, seed)
+    st, stats = _scan_growth(st, ea, cfg)
+    jax.block_until_ready(st.n_seg)
+    history = []
+    stats = jax.device_get(stats)
+    for t in range(cfg.t_steps):
+        row = {k: (float(v[t]) if k == "total_length_mm" else int(v[t]))
+               for k, v in stats.items()}
+        row["step"] = t
+        history.append(row)
+    return st, ea, history

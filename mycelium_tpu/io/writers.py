@@ -83,7 +83,7 @@ def export_geometry(out_dir: str, starts: np.ndarray, ends: np.ndarray) -> str:
     with open(os.path.join(out_dir, "nodes.csv"), "w") as f:
         f.write("node_id,x,y,z\n")
         for i, (x, y, z) in enumerate(nodes):
-            f.write(f"{i},{x!r},{y!r},{z!r}\n")
+            f.write(f"{i},{float(x)!r},{float(y)!r},{float(z)!r}\n")
     with open(os.path.join(out_dir, "elements.csv"), "w") as f:
         f.write("elem_id,n1,n2\n")
         for i, (a, b) in enumerate(conn):
@@ -102,7 +102,8 @@ def write_snapshot_csv(snapshot_dir: str, step: int, starts: np.ndarray,
         f.write("x1,y1,x2,y2,intensity\n")
         for (x1, y1), (x2, y2), c in zip(starts[:, :2], ends[:, :2],
                                          intensity):
-            f.write(f"{x1!r},{y1!r},{x2!r},{y2!r},{c!r}\n")
+            f.write(f"{float(x1)!r},{float(y1)!r},{float(x2)!r},"
+                    f"{float(y2)!r},{float(c)!r}\n")
     return path
 
 

@@ -60,7 +60,7 @@ int meshio_read_csv(const char* path, double** out_data, int64_t* out_rows,
     while (p < end && *p != '\n') {
       char* next = nullptr;
       double v = std::strtod(p, &next);
-      if (next == p) v = 0.0;  // unparsable cell
+      if (next == p) return 5;  // unparsable cell: caller falls back
       vals.push_back(v);
       ++c;
       p = (next && next > p) ? next : p;

@@ -7,14 +7,16 @@ without TPU hardware) with x64 enabled so the f64 parity bar
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # env forces axon otherwise
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# The image's sitecustomize registers the axon TPU plugin and pins
+# jax_platforms to "axon,cpu". Selecting cpu through the CONFIG (not the
+# JAX_PLATFORMS env var — with the plugin registered, the env-var path
+# silently ignores jax_num_cpu_devices) gives a virtual 8-device CPU mesh.
+os.environ.pop("JAX_PLATFORMS", None)
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: the suite is compile-dominated otherwise
 jax.config.update("jax_compilation_cache_dir",

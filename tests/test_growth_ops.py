@@ -1,0 +1,297 @@
+"""Unit tests for the growth operators against scalar numpy oracles that
+independently implement the reference semantics (SURVEY.md §2 C5-C10)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mycelium_tpu.config import GrowthConfig
+from mycelium_tpu.growth import init_state
+from mycelium_tpu.growth.neighbors import (detect_anastomosis,
+                                           point_segment_distance)
+from mycelium_tpu.growth.ops import (enforce_walls, grow, translocate,
+                                     uptake)
+from mycelium_tpu.growth.state import (ACTIVE, ANASTOMOSED, EMPTY, PASSIVE,
+                                       EnvArrays, state_env_arrays)
+from mycelium_tpu.scenes import petri_dish
+
+CFG = GrowthConfig(max_segments=256, max_hyphae=128, h0_per_point=2,
+                   inoculum_nx=2, inoculum_ny=2)
+
+
+def tiny_state(cfg=CFG):
+    st, ea = init_state(cfg)
+    return st, ea
+
+
+def build_chain(cfg, subs, h0=0.05):
+    """A single hypha laid along +x with given per-segment substrate."""
+    st, ea = init_state(cfg)
+    n = len(subs)
+    start = np.zeros((cfg.max_segments, 3))
+    end = np.zeros((cfg.max_segments, 3))
+    for i in range(n):
+        start[i] = [i * h0, 0, 0]
+        end[i] = [(i + 1) * h0, 0, 0]
+    state = np.zeros(cfg.max_segments, np.int8)
+    state[:n] = PASSIVE
+    state[n - 1] = ACTIVE
+    prev = np.full(cfg.max_segments, -1, np.int32)
+    prev[1:n] = np.arange(n - 1)
+    sub = np.zeros(cfg.max_segments)
+    sub[:n] = subs
+    hypha = np.full(cfg.max_segments, -1, np.int32)
+    hypha[:n] = 0
+    tip = np.full(cfg.max_hyphae, -1, np.int32)
+    tip[0] = n - 1
+    st = st._replace(
+        start=jnp.asarray(start, st.start.dtype),
+        end=jnp.asarray(end, st.end.dtype),
+        sub=jnp.asarray(sub, st.sub.dtype),
+        state=jnp.asarray(state),
+        prev=jnp.asarray(prev),
+        hypha=jnp.asarray(hypha),
+        tip=jnp.asarray(tip),
+        n_seg=jnp.asarray(n, jnp.int32),
+        n_hyp=jnp.asarray(1, jnp.int32),
+        phi=jnp.zeros_like(st.phi),
+        theta=jnp.full_like(st.theta, np.pi / 2),
+    )
+    return st, ea
+
+
+def translocate_oracle(subs, lengths, cfg):
+    """Reference translocation semantics (mycelium_sim_2D.py:275-310):
+    collect clamped deltas for each (pred, succ) pair, then apply additively
+    with a clamp after each update."""
+    subs = list(map(float, subs))
+    updates = []
+    for j in range(1, len(subs)):
+        pred, s = j - 1, j
+        denom = (lengths[s] + lengths[pred]) / 2.0
+        if denom <= 0:
+            continue
+        delta = cfg.dt * cfg.diffusion * (subs[pred] - subs[s]) / denom
+        new_s = subs[s] + delta
+        new_pred = subs[pred] - delta
+        if new_s < 0:
+            adj = -subs[s]
+        elif new_s > cfg.m_cap:
+            adj = cfg.m_cap - subs[s]
+        elif new_pred < 0:
+            adj = subs[pred]
+        elif new_pred > cfg.m_cap:
+            adj = cfg.m_cap - subs[pred]
+        else:
+            adj = delta
+        updates.append((s, adj))
+        updates.append((pred, -adj))
+    for i, d in updates:
+        subs[i] = min(max(subs[i] + d, 0.0), cfg.m_cap)
+    return np.asarray(subs)
+
+
+@pytest.mark.parametrize("subs", [
+    [1e-6, 5e-7, 2e-7],
+    [2e-6, 0.0, 2e-6, 1e-9],
+    [0.0, 0.0],
+    [1.9999e-6, 2e-6, 1e-12],
+])
+def test_translocate_matches_reference_semantics(subs):
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    st, _ = build_chain(cfg, subs)
+    out = translocate(st, cfg)
+    expect = translocate_oracle(subs, [cfg.h0] * len(subs), cfg)
+    np.testing.assert_allclose(np.asarray(out.sub[:len(subs)]), expect,
+                               rtol=1e-12, atol=1e-24)
+
+
+def uptake_oracle(subs, in_mask, E, cfg, mu):
+    """Reference sequential drain (mycelium_sim_2D.py:315-338)."""
+    subs = list(map(float, subs))
+    for i in range(len(subs)):
+        if not in_mask[i]:
+            continue
+        theta = cfg.dt * mu * E * subs[i]
+        theta = max(0.0, min(theta, min(cfg.m_cap - subs[i], E)))
+        subs[i] += theta
+        E -= theta
+        if E <= 0:
+            break
+    return np.asarray(subs), E
+
+
+def test_uptake_matches_sequential_drain():
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    subs = [4e-7, 1.9e-6, 0.0, 4e-7, 1e-6]
+    st, ea = build_chain(cfg, subs)
+    st = st._replace(env_e=jnp.asarray([2e-6], st.sub.dtype))
+    out = uptake(st, ea, cfg)
+    in_mask = np.ones(len(subs), bool)  # chain lies inside the dish substrate
+    expect, e_left = uptake_oracle(subs, in_mask, 2e-6, cfg,
+                                   cfg.substrate_mu)
+    np.testing.assert_allclose(np.asarray(out.sub[:len(subs)]), expect,
+                               rtol=1e-12)
+    # XLA may fuse the theta product into FMAs, so the drained E differs
+    # from the python oracle at the last-ulp level; bound by the E floor
+    np.testing.assert_allclose(float(out.env_e[0]), e_left, rtol=1e-9,
+                               atol=2e-18)
+
+
+def test_uptake_order_dependence_is_slot_order():
+    """First slots drain E first — the documented deterministic order."""
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    subs = [1.9999e-6] * 4   # each take ~theta until E exhausted
+    st, ea = build_chain(cfg, subs)
+    st = st._replace(env_e=jnp.asarray([1e-10], st.sub.dtype))
+    out = uptake(st, ea, cfg)
+    gains = np.asarray(out.sub[:4]) - np.asarray(subs)
+    assert gains[0] > 0
+    assert gains[0] >= gains[1] >= gains[2]
+
+
+def test_grow_no_substrate_no_growth():
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    st, _ = build_chain(cfg, [0.0, 0.0])
+    out = grow(st, cfg, jax.random.PRNGKey(0))
+    assert int(out.n_seg) == int(st.n_seg)
+    assert int(out.state[1]) == ACTIVE  # tip unchanged
+
+
+def test_grow_extension_bookkeeping():
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1,
+                       p_branch=0.0)
+    subs = [0.0, 1e-6]
+    st, _ = build_chain(cfg, subs)
+    out = grow(st, cfg, jax.random.PRNGKey(1))
+    assert int(out.n_seg) == 3
+    assert int(out.n_hyp) == 1
+    assert int(out.state[1]) == PASSIVE        # old tip passive
+    assert int(out.state[2]) == ACTIVE         # new tip active
+    assert int(out.prev[2]) == 1
+    assert int(out.tip[0]) == 2
+    np.testing.assert_allclose(np.asarray(out.start[2]),
+                               np.asarray(st.end[1]))
+    # cost accounting: avail - cost, renormalized by tip length
+    avail = subs[1] * cfg.h0
+    expect_tip = (avail - cfg.c_g * cfg.h0) / cfg.h0
+    np.testing.assert_allclose(float(out.sub[1]), expect_tip, rtol=1e-12)
+    np.testing.assert_allclose(float(out.sub[2]), 0.5 * expect_tip,
+                               rtol=1e-12)
+    # new segment has length h0
+    L = np.linalg.norm(np.asarray(out.end[2] - out.start[2]))
+    np.testing.assert_allclose(L, cfg.h0, rtol=1e-12)
+
+
+def test_grow_branching_creates_new_hypha():
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1,
+                       p_branch=1.0)
+    st, _ = build_chain(cfg, [0.0, 1e-6])
+    out = grow(st, cfg, jax.random.PRNGKey(2))
+    assert int(out.n_seg) == 4          # extension + child
+    assert int(out.n_hyp) == 2
+    assert int(out.state[2]) == ACTIVE and int(out.state[3]) == ACTIVE
+    assert int(out.prev[3]) == -1       # child starts a new hypha
+    assert int(out.hypha[3]) == 1
+    assert int(out.tip[1]) == 3
+    # both children get half the post-cost concentration; cost is 2x
+    avail = 1e-6 * cfg.h0
+    expect_tip = (avail - 2 * cfg.c_g * cfg.h0) / cfg.h0
+    np.testing.assert_allclose(float(out.sub[2]), 0.5 * expect_tip,
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(out.sub[3]), 0.5 * expect_tip,
+                               rtol=1e-12)
+
+
+def test_grow_overflow_sets_flag_and_does_not_corrupt():
+    cfg = GrowthConfig(max_segments=2, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1,
+                       p_branch=0.0)
+    st, _ = build_chain(cfg, [0.0, 1e-6])
+    out = grow(st, cfg, jax.random.PRNGKey(3))
+    assert bool(out.overflow)
+    assert int(out.n_seg) == 2          # clamped at capacity
+
+
+def test_point_segment_distance_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        p, a, b = rng.normal(size=(3, 3))
+        d, proj = point_segment_distance(jnp.asarray(p), jnp.asarray(a),
+                                         jnp.asarray(b))
+        ap, ab = p - a, b - a
+        t = np.clip(np.dot(ap, ab) / np.dot(ab, ab), 0, 1)
+        proj_ref = a + t * ab
+        np.testing.assert_allclose(float(d), np.linalg.norm(p - proj_ref),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(proj), proj_ref, rtol=1e-5,
+                                   atol=1e-7)
+    # degenerate segment: distance to the point a
+    d, proj = point_segment_distance(jnp.asarray([1.0, 0, 0]),
+                                     jnp.asarray([0.0, 0, 0]),
+                                     jnp.asarray([0.0, 0, 0]))
+    np.testing.assert_allclose(float(d), 1.0)
+
+
+def test_anastomosis_snaps_active_tip():
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    st, _ = build_chain(cfg, [1e-6, 1e-6])
+    # plant a foreign segment crossing just above the tip endpoint
+    N = cfg.max_segments
+    start = np.array(st.start)
+    end = np.array(st.end)
+    state = np.array(st.state)
+    tip_end = end[1]                       # (0.10, 0, 0)
+    start[2] = tip_end + [0.0005, -0.05, 0]
+    end[2] = tip_end + [0.0005, +0.05, 0]
+    state[2] = PASSIVE
+    st = st._replace(start=jnp.asarray(start), end=jnp.asarray(end),
+                     state=jnp.asarray(state),
+                     n_seg=jnp.asarray(3, jnp.int32))
+    out = detect_anastomosis(st, cfg)
+    assert int(out.state[1]) == ANASTOMOSED
+    np.testing.assert_allclose(np.asarray(out.end[1]),
+                               tip_end + [0.0005, 0, 0], atol=1e-12)
+    # and a far tip does not snap
+    st_far = st._replace(end=st.end.at[2].add(jnp.asarray([0.0, 1.0, 0.0]))
+                         .at[1].add(0.0))
+    st_far = st_far._replace(start=st_far.start.at[2]
+                             .add(jnp.asarray([0.0, 1.0, 0.0])))
+    out2 = detect_anastomosis(st_far, cfg)
+    assert int(out2.state[1]) == ACTIVE
+
+
+def test_walls_project_penetrating_tip():
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    st, ea = build_chain(cfg, [1e-6, 1e-6])
+    # move tip into the +x wall (dish half-size 2.5, wall at 2.5..2.55)
+    start = np.array(st.start)
+    end = np.array(st.end)
+    start[1] = [2.48, 0.2, 0]
+    end[1] = [2.52, 0.2, 0]   # inside the +x wall
+    st = st._replace(start=jnp.asarray(start), end=jnp.asarray(end))
+    L0 = float(jnp.linalg.norm(st.end[1] - st.start[1]))
+    out = enforce_walls(st, ea, cfg, jax.random.PRNGKey(0))
+    e = np.asarray(out.end[1])
+    assert e[0] <= 2.5 + 1e-9, f"still penetrating: {e}"
+    # length preserved, tangential slide (y-direction move)
+    L1 = np.linalg.norm(e - np.asarray(out.start[1]))
+    np.testing.assert_allclose(L1, L0, rtol=1e-9)
+    assert int(out.state[1]) == ACTIVE
+
+
+def test_walls_leave_interior_tips_alone():
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    st, ea = build_chain(cfg, [1e-6, 1e-6])
+    out = enforce_walls(st, ea, cfg, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out.end), np.asarray(st.end))

@@ -1,0 +1,81 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: the sharded CG
+solve must match the single-chip solver to solver tolerance (the 1-chip vs
+N-chip equality contract the reference validates with mpirun -np 1 vs -np 4,
+SURVEY.md §4.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mycelium_tpu import scenes
+from mycelium_tpu.config import archive_parity_config
+from mycelium_tpu.fea import build_model
+from mycelium_tpu.fea.shard import default_mesh, sharded_cg_solver
+from mycelium_tpu.fea.solve import solve_displacement
+
+
+@pytest.fixture(scope="module")
+def growth_mesh():
+    from mycelium_tpu.config import GrowthConfig
+    from mycelium_tpu.growth import run_growth
+    from mycelium_tpu.growth.export import state_mesh
+    cfg = GrowthConfig(t_steps=10, max_segments=4096, max_hyphae=2048,
+                       dtype="float32")
+    st, _, _ = run_growth(cfg)
+    return state_mesh(st)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+@pytest.mark.parametrize("scene_name", ["test_X", "test_y"])
+def test_sharded_solve_matches_single_chip(scene_name, n_dev):
+    cfg = archive_parity_config()
+    sc = scenes.SCENES[scene_name]()
+    model = build_model(sc.coords, sc.conn, cfg)
+    active = jnp.ones((model.n_elems,), bool)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
+    ref = solve_displacement(model, active, 0.01, -0.01, x0, cfg)
+    mesh = default_mesh(n_dev)
+    solve = sharded_cg_solver(model, cfg, mesh)
+    res = solve(active, 0.01, -0.01, x0)
+    assert bool(res.converged)
+    err = np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
+    assert err < 1e-6, f"{n_dev}-dev vs 1-chip L2 {err:.3e}"
+
+
+def test_sharded_solve_real_growth_mesh(growth_mesh):
+    coords, conn = growth_mesh
+    cfg = archive_parity_config(grip_length=1.5)
+    model = build_model(coords, conn, cfg)
+    active = jnp.ones((model.n_elems,), bool)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
+    ref = solve_displacement(model, active, 0.005, -0.005, x0, cfg)
+    solve = sharded_cg_solver(model, cfg, default_mesh(8))
+    res = solve(active, 0.005, -0.005, x0)
+    assert bool(res.converged)
+    err = np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
+    assert err < 1e-6, f"L2 {err:.3e}"
+
+
+def test_sharded_solve_with_fracture_and_anchored(growth_mesh):
+    coords, conn = growth_mesh
+    cfg = archive_parity_config(grip_length=1.5)
+    model = build_model(coords, conn, cfg)
+    rng = np.random.default_rng(0)
+    active_np = rng.random(model.n_elems) > 0.3     # fractured network
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+    grip = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))
+    anchored = anchored_mask_host(np.asarray(model.conn), active_np, grip)
+    active = jnp.asarray(active_np)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
+    ref = solve_displacement(model, active, 0.005, -0.005, x0, cfg,
+                             jnp.asarray(anchored))
+    solve = sharded_cg_solver(model, cfg, default_mesh(8))
+    res = solve(active, 0.005, -0.005, x0, jnp.asarray(anchored))
+    assert bool(res.converged)
+    err = np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
+    assert err < 1e-6, f"L2 {err:.3e}"
