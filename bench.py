@@ -51,7 +51,7 @@ def main():
 
     from mycelium_tpu.config import FeaConfig
     from mycelium_tpu.fea.model import build_model
-    from mycelium_tpu.fea.ramp import anchored_mask_host, jit_ramp_step
+    from mycelium_tpu.fea.ramp import anchored_mask_host
 
     if os.path.isdir(MESH_DIR):
         from mycelium_tpu.io import read_mesh_dir
@@ -59,27 +59,43 @@ def main():
     else:
         coords, conn = synthetic_mesh(7375)
 
+    use_pallas = jax.default_backend() != "cpu"
     cfg = FeaConfig(dtype="float32", rtol=1e-6, warm_start=False,
-                    operator="chain")
+                    operator="chain", use_pallas=use_pallas)
     model = build_model(coords, conn, cfg)
     grip = np.asarray(model.top_nodes) | np.asarray(model.bot_nodes)
     anchored = jnp.asarray(anchored_mask_host(
         np.asarray(model.conn), np.ones(model.n_elems, bool), grip))
 
-    def step_fn(*a):
-        return jit_ramp_step(model, cfg, *a)
+    from mycelium_tpu.fea.solve import solve_displacement
+
     active = jnp.ones((model.n_elems,), bool)
     x0 = jnp.zeros((model.n_nodes, 3), jnp.dtype(cfg.dtype))
     dy = jnp.asarray(cfg.displacement_max, x0.dtype)   # full-ramp system
 
-    # warm-up (compile)
-    step_fn(active, x0, dy, -dy, anchored)[0].block_until_ready()
+    # throughput measurement: N cold solves chained in ONE dispatch (each
+    # start vector formally depends on the previous solution but is scaled
+    # to zero, so every solve is a full cold solve), which amortizes the
+    # host<->device round-trip latency of this tunnel-attached setup the
+    # same way the 40-step production ramp amortizes it
+    n_chain = 16
 
+    @jax.jit
+    def chained(model, active, anchored, x0):
+        def body(carry, _):
+            res = solve_displacement(model, active, dy, -dy,
+                                     carry * 1e-30, cfg, anchored)
+            return res.x, res.iters
+        return jax.lax.scan(body, x0, None, length=n_chain)
+
+    xl, iters = chained(model, active, anchored, x0)   # compile warm-up
+    jax.block_until_ready(xl)
     times = []
-    for _ in range(30):
+    for _ in range(5):
         t0 = time.perf_counter()
-        step_fn(active, x0, dy, -dy, anchored)[0].block_until_ready()
-        times.append((time.perf_counter() - t0) * 1e3)
+        xl, iters = chained(model, active, anchored, x0)
+        jax.block_until_ready(xl)
+        times.append((time.perf_counter() - t0) * 1e3 / n_chain)
     value = float(np.median(times))
 
     print(json.dumps({

@@ -97,7 +97,11 @@ class FeaConfig:
     # --- solver knobs (TPU-native; replaces PETSc -ksp_type/-pc_type) ---
     solver: str = "cg"                 # 'cg' | 'bicgstab'
     precond: str = "block_jacobi"      # 'block_jacobi' | 'jacobi' | 'none'
-    operator: str = "ell"              # 'ell' (gather-only SpMV) | 'scatter' | 'bcoo'
+    operator: str = "ell"              # 'ell' (gather-only SpMV) | 'scatter'
+                                       # | 'chain' (shift+MXU, TPU fast path)
+    use_pallas: bool = False           # run the whole PCG in one Pallas
+                                       # kernel (requires operator='chain',
+                                       # f32; TPU only)
     rtol: float = 1e-8                 # CG relative residual tolerance
     atol: float = 0.0
     max_iter: int = 20000

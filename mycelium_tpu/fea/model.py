@@ -42,6 +42,8 @@ class FeaModel(NamedTuple):
     free_nodes: jnp.ndarray    # (N,) bool  (~top & ~bot)
     chain: object = None       # Optional[chain.ChainPlan] — the
                                # gather-free SpMV layout (cfg.operator='chain')
+    chain_packed: object = None  # Optional[pallas_cg.PackedChainData] —
+                                 # VMEM tables for the whole-solve kernel
 
     @property
     def n_nodes(self) -> int:
@@ -107,6 +109,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
     incident, sign, neighbor = _build_incidence(conn_np, coords.shape[0])
 
     chain_plan = None
+    chain_packed = None
     if cfg.operator == "chain":
         from .chain import build_chain_plan
         # factored element data in f64 on host for exact table build
@@ -118,6 +121,9 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         k_bd_host = 12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3)
         chain_plan = build_chain_plan(coords, conn_np, n_host, k_ax_host,
                                       k_bd_host, dtype)
+        if cfg.use_pallas:
+            from .pallas_cg import pack_plan
+            chain_packed = pack_plan(chain_plan, coords.shape[0])
 
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)
@@ -133,6 +139,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         bot_nodes=jnp.asarray(bot),
         free_nodes=jnp.asarray(free),
         chain=chain_plan,
+        chain_packed=chain_packed,
     )
 
 

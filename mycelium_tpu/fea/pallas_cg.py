@@ -45,18 +45,22 @@ from ..config import FeaConfig
 from .chain import BLOCK, ChainPlan
 from .solve import SolveResult
 
-JUMP_CHUNK = 512
+JUMP_CHUNK = 1024
 
 
 class PackedChainData(NamedTuple):
-    """Static stacked-plane tables (built once per mesh)."""
+    """Static stacked-plane tables (built once per mesh).
+
+    Jump endpoints a and b are stacked into single tables so each chunk
+    needs ONE gather and ONE scatter matmul per component: rows are laid
+    out per chunk of C jump pairs as [a-rows (C), b-rows (C)], so row-slice
+    [ci·2C, ci·2C+2C) covers both endpoints of pair chunk ci.
+    """
     cn: jnp.ndarray       # (3*NB, 128) chain direction component planes
     ckax: jnp.ndarray     # (3*NB, 128) chain EA/L, tiled over planes
     ckbd: jnp.ndarray     # (3*NB, 128)
-    a_blk: jnp.ndarray    # (Jp, NB) one-hot over node blocks (endpoint a)
-    b_blk: jnp.ndarray    # (Jp, NB)
-    a_lane: jnp.ndarray   # (Jp, 128) one-hot over lanes within the block
-    b_lane: jnp.ndarray   # (Jp, 128)
+    ab_blk: jnp.ndarray   # (2*Jp, NB) one-hot over node blocks
+    ab_lane: jnp.ndarray  # (2*Jp, 128) one-hot over lanes within the block
     jscal: jnp.ndarray    # (Jp, 128): lanes 0..4 = [n_x, n_y, n_z, kax, kbd]
 
     @property
@@ -112,14 +116,27 @@ def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
         extra = nb - a_blk.shape[1]
         a_blk = np.pad(a_blk, ((0, 0), (0, extra)))
         b_blk = np.pad(b_blk, ((0, 0), (0, extra)))
+    a_blk = np.asarray(padj(a_blk))
+    b_blk = np.asarray(padj(b_blk))
+    a_lane = np.asarray(padj(plan.a_lane))
+    b_lane = np.asarray(padj(plan.b_lane))
+    jtot = a_blk.shape[0]
+    # interleave a/b at chunk granularity: [a-chunk0; b-chunk0; a-chunk1; ..]
+    nch = jtot // JUMP_CHUNK
+
+    def inter(a, b):
+        parts = []
+        for c in range(nch):
+            parts.append(a[c * JUMP_CHUNK:(c + 1) * JUMP_CHUNK])
+            parts.append(b[c * JUMP_CHUNK:(c + 1) * JUMP_CHUNK])
+        return jnp.asarray(np.concatenate(parts, axis=0))
+
     return PackedChainData(
         cn=pack_vec3(plan.chain_n.astype(f32), nb),
         ckax=_tile3(_pack_plane(plan.chain_kax.astype(f32), nb)),
         ckbd=_tile3(_pack_plane(plan.chain_kbd.astype(f32), nb)),
-        a_blk=padj(a_blk),
-        b_blk=padj(b_blk),
-        a_lane=padj(plan.a_lane),
-        b_lane=padj(plan.b_lane),
+        ab_blk=inter(a_blk, b_blk),
+        ab_lane=inter(a_lane, b_lane),
         jscal=padj(jscal),
     )
 
@@ -127,8 +144,8 @@ def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
 def _cg_kernel(nb, jp, max_iter, rtol, reg,
                uk_ref, x0_ref, freem_ref, cact_ref, jact_ref,
                cn_ref, ckax_ref, ckbd_ref,
-               a_blk_ref, b_blk_ref, a_lane_ref, b_lane_ref, jscal_ref,
-               c3_ref,
+               ab_blk_ref, ab_lane_ref, jscal_ref,
+               c3_ref, ainv_ref,
                x_out_ref, stats_ref):
     f32 = jnp.float32
     s_rows = 3 * nb
@@ -175,41 +192,37 @@ def _cg_kernel(nb, jp, max_iter, rtol, reg,
         f = ckax * nd * cn + ckbd * (d - nd * cn)
         out = f - shift_down(f)
 
-        # ---- jump part: chunked one-hot MXU selections, per plane ----
+        # ---- jump part: chunked one-hot MXU selections; both endpoints of
+        # a chunk ride in the same matmul (rows [a-chunk; b-chunk]) ----
         u_planes = (u[0 * nb:1 * nb], u[1 * nb:2 * nb], u[2 * nb:3 * nb])
 
         def chunk_body(ci, out):
-            sl = pl.ds(ci * JUMP_CHUNK, JUMP_CHUNK)
-            a_blk = a_blk_ref[sl, :]
-            b_blk = b_blk_ref[sl, :]
-            a_lane = a_lane_ref[sl, :]
-            b_lane = b_lane_ref[sl, :]
-            jscal = jscal_ref[sl, :]
-            jact1 = jact_ref[sl, :][:, 0:1]
+            sl2 = pl.ds(ci * 2 * JUMP_CHUNK, 2 * JUMP_CHUNK)
+            slp = pl.ds(ci * JUMP_CHUNK, JUMP_CHUNK)
+            ab_blk = ab_blk_ref[sl2, :]                    # (2C, NB)
+            ab_lane = ab_lane_ref[sl2, :]
+            jscal = jscal_ref[slp, :]
+            jact1 = jact_ref[slp, :][:, 0:1]
             jn = (jscal[:, 0:1], jscal[:, 1:2], jscal[:, 2:3])
             jkax = jscal[:, 3:4] * jact1
             jkbd = jscal[:, 4:5] * jact1
 
             dj = []
             for k in range(3):
-                ta = jnp.dot(a_blk, u_planes[k], precision=hi,
-                             preferred_element_type=f32)       # (JC, 128)
-                tb = jnp.dot(b_blk, u_planes[k], precision=hi,
-                             preferred_element_type=f32)
-                dj.append(jnp.sum(ta * a_lane - tb * b_lane, axis=1,
-                                  keepdims=True))              # (JC, 1)
+                t = jnp.dot(ab_blk, u_planes[k], precision=hi,
+                            preferred_element_type=f32)    # (2C, 128)
+                s = jnp.sum(t * ab_lane, axis=1, keepdims=True)
+                dj.append(s[:JUMP_CHUNK] - s[JUMP_CHUNK:])  # (C, 1)
             ndj = jn[0] * dj[0] + jn[1] * dj[1] + jn[2] * dj[2]
             contract0 = (((0,), (0,)), ((), ()))
             diffs = []
             for k in range(3):
                 fj = jkax * ndj * jn[k] + jkbd * (dj[k] - ndj * jn[k])
+                fj2 = jnp.concatenate([fj, -fj], axis=0)   # (2C, 1)
                 diffs.append(
-                    lax.dot_general(a_blk, a_lane * fj, contract0,
+                    lax.dot_general(ab_blk, ab_lane * fj2, contract0,
                                     precision=hi,
-                                    preferred_element_type=f32)
-                    - lax.dot_general(b_blk, b_lane * fj, contract0,
-                                      precision=hi,
-                                      preferred_element_type=f32))
+                                    preferred_element_type=f32))
             return out + jnp.concatenate(diffs, axis=0)
 
         return lax.fori_loop(0, n_chunks, chunk_body, out)
@@ -219,9 +232,16 @@ def _cg_kernel(nb, jp, max_iter, rtol, reg,
         return freem * (matvec_raw(uf) + reg * uf) + pinm * u
 
     def precond(r):
-        # z[plane i] = sum_j C_j[plane i] * r[plane (i+j)%3]
-        return (c3[0] * r + c3[1] * roll(r, -nb, 0)
-                + c3[2] * roll(r, -2 * nb, 0))
+        # block-Jacobi: z[plane i] = sum_j C_j[plane i] * r[plane (i+j)%3]
+        z = (c3[0] * r + c3[1] * roll(r, -nb, 0)
+             + c3[2] * roll(r, -2 * nb, 0))
+        # additive coarse-grid correction (two-level Schwarz): clusters are
+        # the 128-node rows of the plane layout, so restriction is a lane
+        # row-sum and prolongation a lane broadcast
+        rc = jnp.sum(r, axis=1, keepdims=True)            # (3NB, 1)
+        zc = jnp.dot(ainv_ref[:], rc, precision=hi,
+                     preferred_element_type=f32)          # (3NB, 1)
+        return z + freem * zc
 
     def dot(a, b):
         return jnp.sum(a * b)
@@ -265,6 +285,54 @@ def _cg_kernel(nb, jp, max_iter, rtol, reg,
     stats_ref[:] = stats
 
 
+def _coarse_inverse(model, plan, active, free, cfg, nb):
+    """Galerkin coarse operator for the two-level preconditioner.
+
+    Clusters = 128 consecutive chain-ordered nodes (one row of the plane
+    layout); coarse DOF index is plane-major (k*NB + cluster) to match the
+    kernel's stacked residual. Assembled from the BC'd operator
+    P·K·P + (I−P) + reg·P, then symmetrically normalized and inverted
+    (3·NB is ~200 even at 1e5 DOF, so a dense inverse is trivial)."""
+    from .elements import element_stiffness_batch
+    f32 = jnp.float32
+    conn = model.conn
+    nc3 = 3 * nb
+    cl = plan.inv_perm // BLOCK                      # (N,) cluster ids
+    ke = element_stiffness_batch(model.geom).astype(f32)      # (E,6,6)
+    f = free.astype(f32)
+    f1 = f[conn[:, 0]]
+    f2 = f[conn[:, 1]]
+    m6 = jnp.concatenate([jnp.repeat(f1[:, None], 3, 1),
+                          jnp.repeat(f2[:, None], 3, 1)], axis=1)  # (E,6)
+    vals = ke * (m6[:, :, None] * m6[:, None, :]) \
+        * active.astype(f32)[:, None, None]
+    comp = jnp.arange(3, dtype=jnp.int32)
+    c1 = cl[conn[:, 0]]
+    c2 = cl[conn[:, 1]]
+    dof = jnp.concatenate([comp[None, :] * nb + c1[:, None],
+                           comp[None, :] * nb + c2[:, None]], axis=1)
+    rows = jnp.repeat(dof, 6, axis=1)
+    cols = jnp.tile(dof, (1, 6))
+    flat = (rows * nc3 + cols).reshape(-1)
+    a = jnp.zeros((nc3 * nc3,), f32).at[flat].add(vals.reshape(-1))
+    # reg·P diagonal per node. NO (I-P) identity term: the restriction is
+    # free-masked (pinned residual rows are zero), and identity entries
+    # from grip nodes would otherwise dominate every mixed cluster and
+    # flatten the coarse correction to ~diag(#pinned)^-1.
+    dnode = np.float32(cfg.reg) * f
+    didx = comp[None, :] * nb + cl[:, None]          # (N,3)
+    dflat = (didx * nc3 + didx).reshape(-1)
+    a = a.at[dflat].add(jnp.repeat(dnode[:, None], 3, 1).reshape(-1))
+    a = a.reshape(nc3, nc3)
+    d = jnp.diagonal(a)
+    s = jnp.where(d > 0, jax.lax.rsqrt(jnp.maximum(d, 1e-30)), 1.0)
+    an = s[:, None] * a * s[None, :] \
+        + np.float32(1e-5) * jnp.eye(nc3, dtype=f32) \
+        + jnp.diag(jnp.where(d > 0, 0.0, 1.0).astype(f32))
+    ainv_n = jnp.linalg.inv(an)
+    return s[:, None] * ainv_n * s[None, :]
+
+
 def pallas_chain_solve(model, packed: PackedChainData, active,
                        dy_top, dy_bot, x0, cfg: FeaConfig, anchored=None):
     """Run one boundary-value solve in a single Pallas kernel (f32)."""
@@ -275,7 +343,7 @@ def pallas_chain_solve(model, packed: PackedChainData, active,
     plan = model.chain
     n = model.n_nodes
     nb = packed.nb
-    jp = packed.a_blk.shape[0]
+    jp = packed.jscal.shape[0]
     f32 = jnp.float32
 
     free = model.free_nodes if anchored is None \
@@ -299,6 +367,8 @@ def pallas_chain_solve(model, packed: PackedChainData, active,
                              axis=1), nb)
          for j in range(3)], axis=0)
 
+    ainv = _coarse_inverse(model, plan, active, free, cfg, nb)
+
     kernel = functools.partial(_cg_kernel, nb, jp, cfg.max_iter,
                                np.float32(cfg.rtol), np.float32(cfg.reg))
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -306,12 +376,13 @@ def pallas_chain_solve(model, packed: PackedChainData, active,
         kernel,
         out_shape=(jax.ShapeDtypeStruct((3 * nb, BLOCK), f32),
                    jax.ShapeDtypeStruct((1, 128), f32)),
-        in_specs=[vmem() for _ in range(14)],
+        in_specs=[vmem() for _ in range(13)],
         out_specs=(vmem(), vmem()),
+        interpret=jax.default_backend() == "cpu",   # CPU: test path
     )(uk_p, x0_p, freem, cact, jact,
       packed.cn, packed.ckax, packed.ckbd,
-      packed.a_blk, packed.b_blk, packed.a_lane, packed.b_lane,
-      packed.jscal, c3)
+      packed.ab_blk, packed.ab_lane,
+      packed.jscal, c3, ainv)
 
     x = unpack_vec3(x_p, n, nb)[plan.inv_perm]
     iters = stats[0, 0].astype(jnp.int32)

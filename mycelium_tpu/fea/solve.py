@@ -165,6 +165,13 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         else jnp.logical_and(model.free_nodes, anchored)
     u_k = prescribed_values(model, dy_top, dy_bot)
 
+    if cfg.operator == "chain" and model.chain is not None \
+            and cfg.use_pallas and getattr(model, "chain_packed", None) \
+            is not None:
+        from .pallas_cg import pallas_chain_solve
+        return pallas_chain_solve(model, model.chain_packed, active,
+                                  dy_top, dy_bot, x0, cfg, anchored)
+
     if cfg.operator == "chain" and model.chain is not None:
         # run the Krylov loop entirely in chain-permuted node space — the
         # per-iteration operator is then shift+MXU only (see chain.py);

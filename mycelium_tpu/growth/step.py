@@ -69,15 +69,32 @@ def summarize(st: GrowthState, cfg: GrowthConfig) -> Dict:
 def run_growth(cfg: GrowthConfig, env: Environment | None = None,
                seed: int | None = None,
                on_step: Optional[Callable[[int, GrowthState], None]] = None,
-               verbose: bool = False):
+               verbose: bool = False,
+               initial_state: Optional[GrowthState] = None,
+               checkpoint_path: Optional[str] = None,
+               checkpoint_every: int = 0):
     """Python-loop driver: returns (final_state, env_arrays, history) where
-    history is the per-step stats list in reference column order."""
+    history is the per-step stats list in reference column order.
+
+    Pass ``initial_state`` (e.g. from io.checkpoint.load_growth_state) to
+    resume a run mid-trajectory: the PRNG key lives in the state, so the
+    continuation is bit-identical to an uninterrupted run. With
+    ``checkpoint_path`` + ``checkpoint_every``, the state is saved every k
+    steps (closing the reference's no-restart gap, SURVEY.md §5.4).
+    """
     if env is None:
         env = petri_dish(cfg)
     st, ea = init_state(cfg, env, seed)
+    if initial_state is not None:
+        st = initial_state
     history: List[Dict] = []
-    for t in range(cfg.t_steps):
+    start_step = int(jax.device_get(st.step))
+    for t in range(start_step, cfg.t_steps):
         st = growth_step(st, ea, cfg)
+        if checkpoint_path and checkpoint_every > 0 \
+                and (t + 1) % checkpoint_every == 0:
+            from ..io.checkpoint import save_growth_state
+            save_growth_state(checkpoint_path, st)
         stats = summarize(st, cfg)
         stats["step"] = t
         history.append(stats)

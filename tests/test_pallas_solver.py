@@ -1,0 +1,67 @@
+"""Whole-solve Pallas kernel: equivalence with the XLA chain solver.
+
+On CPU the kernel runs in Pallas interpret mode, which executes the same
+kernel program (rolls, one-hot MXU selections, two-level preconditioner,
+while-loop CG) with identical semantics.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mycelium_tpu.config import FeaConfig, GrowthConfig
+from mycelium_tpu.fea.model import build_model
+from mycelium_tpu.fea.ramp import anchored_mask_host
+from mycelium_tpu.fea.solve import solve_displacement
+
+
+@pytest.fixture(scope="module")
+def growth_mesh():
+    from mycelium_tpu.growth import run_growth
+    from mycelium_tpu.growth.export import state_mesh
+    cfg = GrowthConfig(t_steps=10, max_segments=4096, max_hyphae=2048,
+                       dtype="float32")
+    st, _, _ = run_growth(cfg)
+    return state_mesh(st)
+
+
+def _solve_both(coords, conn, active_np, dy=0.01):
+    cfg_p = FeaConfig(dtype="float32", rtol=1e-6, operator="chain",
+                      use_pallas=True)
+    cfg_x = dataclasses.replace(cfg_p, use_pallas=False)
+    model_p = build_model(coords, conn, cfg_p)
+    model_x = build_model(coords, conn, cfg_x)
+    assert model_p.chain_packed is not None
+    grip = np.asarray(model_p.top_nodes) | np.asarray(model_p.bot_nodes)
+    anchored = jnp.asarray(anchored_mask_host(
+        np.asarray(model_p.conn), active_np, grip))
+    active = jnp.asarray(active_np)
+    x0 = jnp.zeros((model_p.n_nodes, 3), jnp.float32)
+    res_p = solve_displacement(model_p, active, dy, -dy, x0, cfg_p, anchored)
+    res_x = solve_displacement(model_x, active, dy, -dy, x0, cfg_x, anchored)
+    return res_p, res_x
+
+
+def test_pallas_solve_matches_xla_chain(growth_mesh):
+    coords, conn = growth_mesh
+    res_p, res_x = _solve_both(coords, conn,
+                               np.ones(conn.shape[0], bool))
+    assert bool(res_p.converged)
+    xp, xx = np.asarray(res_p.x), np.asarray(res_x.x)
+    assert np.linalg.norm(xx) > 0
+    rel = np.linalg.norm(xp - xx) / max(np.linalg.norm(xx), 1e-30)
+    assert rel < 1e-4, f"rel {rel:.2e}"
+
+
+def test_pallas_solve_with_fracture(growth_mesh):
+    coords, conn = growth_mesh
+    rng = np.random.default_rng(0)
+    active_np = rng.random(conn.shape[0]) > 0.3
+    res_p, res_x = _solve_both(coords, conn, active_np)
+    assert bool(res_p.converged)
+    xp, xx = np.asarray(res_p.x), np.asarray(res_x.x)
+    rel = np.linalg.norm(xp - xx) / max(np.linalg.norm(xx), 1e-30)
+    assert rel < 1e-4, f"rel {rel:.2e}"
