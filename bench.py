@@ -23,26 +23,40 @@ BASELINE_MS = 164.0
 MESH_DIR = "/root/reference/results/sim_20251117_181147"
 
 
-def synthetic_mesh(n_target_nodes: int, seed: int = 0):
-    """Fallback mycelium-like mesh if the reference archive is absent:
-    a jittered grid graph with diagonal braces (bounded node degree)."""
+def synthetic_mesh(n_target_nodes: int, seed: int = 0,
+                   mean_chain: int = 64):
+    """Synthetic mycelium-like network: random-walk hyphae (chains of ~0.05
+    mm segments) that branch off existing nodes — matching the real
+    workload's mostly-chain topology (jumps ~= number of hyphae), unlike a
+    grid graph. Used when the reference archive is absent and for the
+    DOF-scaling benchmark."""
     rng = np.random.default_rng(seed)
-    side = int(np.sqrt(n_target_nodes))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.stack([xs.ravel() * 0.05, ys.ravel() * 0.05,
-                       np.zeros(side * side)], axis=1)
-    coords[:, :2] += rng.normal(scale=0.005, size=(side * side, 2))
-    idx = lambda i, j: i * side + j  # noqa: E731
+    h0 = 0.05
+    extent = h0 * np.sqrt(n_target_nodes)   # keep density roughly constant
+    coords = [np.zeros(3)]
     conn = []
-    for i in range(side):
-        for j in range(side):
-            if i + 1 < side:
-                conn.append([idx(i, j), idx(i + 1, j)])
-            if j + 1 < side:
-                conn.append([idx(i, j), idx(i, j + 1)])
-            if i + 1 < side and j + 1 < side and rng.random() < 0.3:
-                conn.append([idx(i, j), idx(i + 1, j + 1)])
-    return coords, np.asarray(conn, np.int32)
+    headings = {}
+    while len(coords) < n_target_nodes:
+        # branch from a random existing node
+        start = int(rng.integers(0, len(coords)))
+        length = max(int(rng.geometric(1.0 / mean_chain)), 4)
+        phi = rng.uniform(0, 2 * np.pi)
+        pos = coords[start].copy()
+        prev = start
+        for _ in range(length):
+            if len(coords) >= n_target_nodes:
+                break
+            phi += rng.uniform(-0.26, 0.26)
+            pos = pos + np.array([np.cos(phi), np.sin(phi), 0.0]) * h0
+            # soft wall: reflect back toward the center
+            for ax in range(2):
+                if abs(pos[ax]) > extent / 2:
+                    phi += np.pi / 2
+                    pos[ax] = np.sign(pos[ax]) * extent / 2
+            coords.append(pos)
+            conn.append([prev, len(coords) - 1])
+            prev = len(coords) - 1
+    return np.asarray(coords), np.asarray(conn, np.int32)
 
 
 def main():

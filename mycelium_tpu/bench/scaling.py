@@ -1,0 +1,89 @@
+"""DOF-scaling benchmark: PCG solves/sec at growing system sizes.
+
+BASELINE.json's north star asks for growth steps/sec and PCG solves/sec at
+1e5 DOF. Run:  python -m mycelium_tpu.bench.scaling [n_nodes ...]
+
+Meshes are mycelium-like jittered grids with diagonal braces (bounded node
+degree, mostly-chain structure) so the chain-ordered operator applies.
+Each measurement chains cold solves inside one dispatch (see bench.py for
+the methodology rationale on tunnel-attached TPUs).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(n_nodes_list, n_chain=8, rtol=1e-6):
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import FeaConfig
+    from ..fea.model import build_model
+    from ..fea.ramp import anchored_mask_host
+    from ..fea.solve import solve_displacement
+
+    sys.path.insert(0, ".")
+    from bench import synthetic_mesh
+
+    results = []
+    for n_target in n_nodes_list:
+        coords, conn = synthetic_mesh(n_target)
+        n_dof = 3 * coords.shape[0]
+        # the Pallas kernel needs its one-hot jump tables in VMEM: estimate
+        # jumps as E - N + 1 (path-cover excess) and gate on table bytes
+        n_nodes = coords.shape[0]
+        jumps_est = max(conn.shape[0] - n_nodes + 2, 1) * 1.5 + 1024
+        nb_est = n_nodes // 128 + 1
+        table_mb = 2 * jumps_est * (nb_est + 256) * 4 / 2 ** 20
+        use_pallas = (jax.default_backend() != "cpu" and table_mb < 40)
+        cfg = FeaConfig(dtype="float32", rtol=rtol, warm_start=False,
+                        operator="chain", use_pallas=use_pallas,
+                        grip_length=0.1)
+        t0 = time.time()
+        model = build_model(coords, conn, cfg)
+        build_s = time.time() - t0
+        grip = np.asarray(model.top_nodes) | np.asarray(model.bot_nodes)
+        anchored = jnp.asarray(anchored_mask_host(
+            np.asarray(model.conn), np.ones(model.n_elems, bool), grip))
+        active = jnp.ones((model.n_elems,), bool)
+        x0 = jnp.zeros((model.n_nodes, 3), jnp.float32)
+        dy = jnp.asarray(0.02, jnp.float32)
+
+        @jax.jit
+        def chained(model, active, anchored, x0):
+            def body(carry, _):
+                res = solve_displacement(model, active, dy, -dy,
+                                         carry * 1e-30, cfg, anchored)
+                return res.x, res.iters
+            return jax.lax.scan(body, x0, None, length=n_chain)
+
+        xl, iters = chained(model, active, anchored, x0)
+        jax.block_until_ready(xl)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            xl, iters = chained(model, active, anchored, x0)
+            jax.block_until_ready(xl)
+            ts.append((time.perf_counter() - t0) / n_chain)
+        per_solve = float(np.median(ts))
+        row = {
+            "n_dof": n_dof,
+            "solve_ms": round(per_solve * 1e3, 2),
+            "solves_per_sec": round(1.0 / per_solve, 2),
+            "cg_iters": int(np.asarray(iters)[-1]),
+            "pallas": use_pallas,
+            "plan_build_s": round(build_s, 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    sizes = [int(a) for a in sys.argv[1:]] or [7375, 33000]
+    run(sizes)

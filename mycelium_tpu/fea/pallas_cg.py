@@ -378,6 +378,8 @@ def pallas_chain_solve(model, packed: PackedChainData, active,
                    jax.ShapeDtypeStruct((1, 128), f32)),
         in_specs=[vmem() for _ in range(13)],
         out_specs=(vmem(), vmem()),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",   # CPU: test path
     )(uk_p, x0_p, freem, cact, jact,
       packed.cn, packed.ckax, packed.ckbd,
