@@ -62,6 +62,15 @@ def cmd_grow(args) -> str:
     snapshot_dir = os.path.join(out_dir, "snapshots")
     os.makedirs(snapshot_dir, exist_ok=True)
 
+    initial_state = None
+    if args.resume:
+        from .io.checkpoint import load_growth_state
+        initial_state = load_growth_state(args.resume)
+        print(f"resuming from {args.resume} at step "
+              f"{int(initial_state.step)}")
+    ckpt_path = os.path.join(out_dir, "growth_checkpoint.npz") \
+        if args.checkpoint_every else None
+
     snapshot_cb = None
     if args.snapshots == "csv":
         from .growth.export import write_state_snapshot
@@ -81,7 +90,10 @@ def cmd_grow(args) -> str:
 
     print(f"growing: {cfg.t_steps} steps -> {out_dir}")
     st, _, history = run_growth(cfg, on_step=snapshot_cb,
-                                verbose=args.verbose)
+                                verbose=args.verbose,
+                                initial_state=initial_state,
+                                checkpoint_path=ckpt_path,
+                                checkpoint_every=args.checkpoint_every)
     write_growth_stats(out_dir, history)
     export_state_geometry(st, out_dir)
     save_run_configs(out_dir, growth=cfg)
@@ -208,6 +220,10 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--three-d", action="store_true")
         g.add_argument("--snapshots", choices=["none", "csv", "png"],
                        default="csv")
+        g.add_argument("--checkpoint-every", type=int, default=0,
+                       help="save growth_checkpoint.npz every N steps")
+        g.add_argument("--resume", default=None,
+                       help="resume growth from a checkpoint npz")
         g.add_argument("--no-summary-plot", action="store_true")
         g.add_argument("--verbose", action="store_true")
 

@@ -2,69 +2,89 @@
 
 Replaces the reference's dict-based voxel hash (reference component C8,
 src/mycelium_sim_2D.py:465-501; int64-keyed C++ twin
-src/mycelium_sim_2D.cpp:185-231) with a sort-based cell list: segment
-midpoints are binned into voxel cells, slots are argsorted by packed cell
-key, and each query gathers a fixed-size window per neighboring cell via
-searchsorted — all shapes static, everything inside jit.
+src/mycelium_sim_2D.cpp:185-231) with a DENSE cell grid over the dish:
+segments are bucketed into a static (G, G, Gz, C) table (one argsort + one
+scatter), and the 3x3(x3) neighborhood is formed by ROLLING the whole
+table — on TPU a roll is a cheap relayout while per-tip window gathers are
+~4-25 ns/row serial loops (the previous sort+searchsorted implementation
+spent ~110 ms/step in them; this one runs the same query in a few ms).
+Grid wrap-around from the rolls is harmless: wrapped candidates are
+physically far, so their true distances never pass the 1e-3 mm tolerance.
 
 Anastomosis (C9, src/mycelium_sim_2D.py:507-542): an active tip whose
 endpoint comes within tol of any other segment snaps to the closest point
 on that segment and becomes 'S' (it stops growing forever). Like the
 reference, the query runs against the post-growth segment set, indexes
-midpoints only (a 3x3x3 neighborhood around the tip — safe because the
-voxel size 0.1 is 2x the segment length), and excludes only the tip itself.
-Deviation: the reference takes the *first* candidate within tol in dict
-iteration order; we take the *nearest* (ties broken by lowest slot), which
-is deterministic and order-independent under data parallelism.
+midpoints only (the voxel size 0.1 is 2x the segment length, so the 3x3
+neighborhood is safe), and excludes only the tip itself. Deviations (both
+documented): we snap to the NEAREST candidate rather than the first in
+dict-bucket order, and cells hold at most C segments / Ct tips (overflow
+drops candidates; the defaults are ~10x the mean occupancy).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import GrowthConfig
 from .state import ACTIVE, ANASTOMOSED, EMPTY, GrowthState
 
-_BITS = 10          # cells per axis in [-512, 511], packed into int32
-_OFF = 1 << (_BITS - 1)
+MAX_TIPS_PER_CELL = 16
 
 
-def cell_coords(p, voxel):
-    """Integer voxel coordinates, floor semantics matching the reference's
-    `int(p // voxel)` (mycelium_sim_2D.py:470-475). Coordinates are clipped
-    to the packable range — ample for the walled petri-dish domain (±2.5 mm
-    at voxel 0.1 -> ±26 cells of the ±512 budget)."""
-    c = jnp.floor(p / voxel).astype(jnp.int32)
-    return jnp.clip(c, -_OFF, _OFF - 1)
+def grid_dims(cfg: GrowthConfig):
+    """Static grid extents: the dish plus margin for wall-leaked tips;
+    out-of-range coordinates clip into the border cells."""
+    g = int(np.ceil(cfg.dish_size / cfg.voxel_size)) + 4
+    if cfg.three_d:
+        gz = int(np.ceil((cfg.height + 2 * cfg.wall_thickness)
+                         / cfg.voxel_size)) + 3
+    else:
+        gz = 1
+    return g, gz
 
 
-def pack_cells(c):
-    """(..., 3) int cell coords -> packed int32 key (no x64 requirement)."""
-    return (((c[..., 0] + _OFF) << (2 * _BITS))
-            | ((c[..., 1] + _OFF) << _BITS)
-            | (c[..., 2] + _OFF))
+def cell_coords(p, cfg: GrowthConfig):
+    """(..., 3) positions -> clipped integer cell coords (cx, cy, cz)."""
+    g, gz = grid_dims(cfg)
+    c = jnp.floor(p / cfg.voxel_size).astype(jnp.int32)
+    cx = jnp.clip(c[..., 0] + g // 2, 0, g - 1)
+    cy = jnp.clip(c[..., 1] + g // 2, 0, g - 1)
+    cz = jnp.clip(c[..., 2] + gz // 2, 0, gz - 1)
+    return cx, cy, cz
 
 
-def build_cell_index(st: GrowthState, cfg: GrowthConfig):
-    """Sort all alive segments by the packed cell key of their midpoint.
+def _cell_id(p, cfg):
+    g, gz = grid_dims(cfg)
+    cx, cy, cz = cell_coords(p, cfg)
+    return (cx * g + cy) * gz + cz
 
-    Returns (sorted_keys (N,), order (N,)): empty slots sort to the end
-    with a sentinel key.
+
+def _bucket(ids, cell, n_cells, cap, sentinel):
+    """Bucket `ids` (already the item indices) by cell into a dense
+    (n_cells, cap) table of item ids; empty slots hold ``sentinel`` (which
+    must be out of range for the ID SPACE of ``ids``, not their count).
+
+    ``cell`` must be n_cells for invalid items (they drop out).
     """
-    mid = (st.start + st.end) * 0.5
-    keys = pack_cells(cell_coords(mid, cfg.voxel_size))
-    keys = jnp.where(st.state != EMPTY, keys, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(keys)
-    return keys[order], order
+    n = ids.shape[0]
+    key = jnp.where(cell < n_cells, cell, n_cells)
+    order = jnp.argsort(key)
+    sc = key[order]
+    # first-occurrence index of each run in the sorted keys via cummax
+    # (searchsorted costs ~2x an argsort on TPU; this is one scan)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    first = jax.lax.cummax(jnp.where(run_start, pos, 0))
+    rank = pos - first
+    valid = (sc < n_cells) & (rank < cap)
+    slot = jnp.where(valid, sc * cap + rank, n_cells * cap)
+    tbl = jnp.full((n_cells * cap + 1,), sentinel, jnp.int32)
+    tbl = tbl.at[slot].set(ids[order], mode="drop")
+    return tbl[:n_cells * cap].reshape(n_cells, cap)
 
-
-def _neighbor_offsets(three_d: bool):
-    rng = (-1, 0, 1)
-    if three_d:
-        return [(dx, dy, dz) for dx in rng for dy in rng for dz in rng]
-    # 2D: all z coordinates are 0 -> single z cell
-    return [(dx, dy, 0) for dx in rng for dy in rng]
 
 def point_segment_distance(p, a, b):
     """Batched point-to-segment distance + closest point
@@ -79,48 +99,108 @@ def point_segment_distance(p, a, b):
     return dist, proj
 
 
-def detect_anastomosis(st: GrowthState, cfg: GrowthConfig) -> GrowthState:
-    """Snap active tips onto nearby segments (vectorized over all tips)."""
+def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
+                       strategy: str | None = None) -> GrowthState:
+    """Snap active tips onto nearby segments.
+
+    Two query strategies over the same dense cell table (identical
+    candidate sets -> identical snaps up to distance ties):
+    - 'grid' (TPU default): roll the whole table for each neighbor offset;
+      distances are computed for every cell whether or not it holds tips —
+      wasteful in FLOPs but gather-free, which is what TPU wants;
+    - 'window' (CPU default): gather each tip's 9 neighbor-cell windows —
+      ~6x fewer distance evaluations, fine on CPU where gathers are cheap.
+    """
+    import jax as _jax
+    if strategy is None:
+        strategy = "window" if _jax.default_backend() == "cpu" else "grid"
     N, H = st.capacity, st.tip.shape[0]
     C = cfg.max_per_cell
-    sorted_keys, order = build_cell_index(st, cfg)
+    Ct = MAX_TIPS_PER_CELL
+    g, gz = grid_dims(cfg)
+    m_cells = g * g * gz
+    dtype = st.start.dtype
+
+    # ---- segment table: bucket by midpoint cell, gather packed geometry.
+    # The z dimension is folded into the candidate axis (the z extent is a
+    # couple of cells), so a query covers the full z column of each of the
+    # 3x3 xy-neighbor cells — a superset of the reference's 3x3x3 query.
+    alive = st.state != EMPTY
+    mid = (st.start + st.end) * 0.5
+    seg_cell = jnp.where(alive, _cell_id(mid, cfg), m_cells)
+    seg_tbl = _bucket(jnp.arange(N, dtype=jnp.int32), seg_cell, m_cells, C,
+                      sentinel=N)
+    sgeo = jnp.concatenate([st.start, st.end], axis=1)        # (N, 6)
+    sgeo_pad = jnp.concatenate([sgeo, jnp.zeros((1, 6), dtype)], axis=0)
 
     hyp_ids = jnp.arange(H, dtype=jnp.int32)
-    hyp_valid = (hyp_ids < st.n_hyp) & (st.tip >= 0)
     t = jnp.maximum(st.tip, 0)
-    is_tip_active = hyp_valid & (st.state[t] == ACTIVE)
-    p = st.end[t]                                     # (H,3) tip endpoints
+    tip_ok = (hyp_ids < st.n_hyp) & (st.tip >= 0) & (st.state[t] == ACTIVE)
+    tip_end = st.end[t]                                       # (H, 3)
 
-    center = cell_coords(p, cfg.voxel_size)           # (H,3)
-    offs = jnp.asarray(_neighbor_offsets(cfg.three_d), jnp.int32)  # (Q,3)
-    q_keys = pack_cells(center[:, None, :] + offs[None, :, :])     # (H,Q)
-    lo = jnp.searchsorted(sorted_keys, q_keys, side="left")        # (H,Q)
-    hi = jnp.searchsorted(sorted_keys, q_keys, side="right")
+    big = jnp.asarray(jnp.inf, dtype)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
-    j = jnp.arange(C)                                  # (C,)
-    cand_pos = lo[:, :, None] + j[None, None, :]       # (H,Q,C)
-    cand_ok = cand_pos < hi[:, :, None]
-    cand_pos = jnp.minimum(cand_pos, N - 1)
-    cand = order[cand_pos]                             # (H,Q,C) slot ids
+    def fold_offset(best, d, proj, cand_idx, self_slot):
+        invalid = (cand_idx == self_slot) | (cand_idx >= N)
+        d = jnp.where(invalid, big, d)
+        dmin = jnp.min(d, axis=-1)
+        # first-match one-hot select of the projection (take_along_axis
+        # would be another per-row gather; this stays pure VPU)
+        hit = d <= dmin[..., None]
+        first = jnp.logical_and(hit, jnp.cumsum(hit, axis=-1) == 1)
+        pmin = jnp.sum(proj * first[..., None].astype(proj.dtype), axis=-2)
+        best_d, best_proj = best
+        better = dmin < best_d
+        return (jnp.where(better, dmin, best_d),
+                jnp.where(better[..., None], pmin, best_proj))
 
-    a = st.start[cand]                                 # (H,Q,C,3)
-    b = st.end[cand]
-    dist, proj = point_segment_distance(p[:, None, None, :], a, b)
+    if strategy == "grid":
+        # tips bucketed onto the same grid; neighborhoods via table rolls
+        seg_grid = sgeo_pad[seg_tbl].reshape(g, g, gz * C, 6)
+        idx_grid = seg_tbl.reshape(g, g, gz * C)
+        tip_cell = jnp.where(tip_ok, _cell_id(tip_end, cfg), m_cells)
+        tip_tbl = _bucket(t, tip_cell, m_cells, Ct,           # seg slot ids
+                          sentinel=N)
+        end_pad = jnp.concatenate([st.end, jnp.zeros((1, 3), dtype)],
+                                  axis=0)
+        tpos = end_pad[jnp.minimum(tip_tbl, N)].reshape(g, g, gz * Ct, 3)
+        tslot = tip_tbl.reshape(g, g, gz * Ct)
+        best = (jnp.full((g, g, gz * Ct), big),
+                jnp.zeros((g, g, gz * Ct, 3), dtype))
+        for dx, dy in offs:
+            nb_geo = jnp.roll(seg_grid, (-dx, -dy), axis=(0, 1))
+            nb_idx = jnp.roll(idx_grid, (-dx, -dy), axis=(0, 1))
+            d, proj = point_segment_distance(
+                tpos[:, :, :, None, :],
+                nb_geo[:, :, None, :, 0:3],
+                nb_geo[:, :, None, :, 3:6])                   # (g,g,Ct,GC)
+            best = fold_offset(best, d, proj, nb_idx[:, :, None, :],
+                               tslot[:, :, :, None])
+        flat_slot = tslot.reshape(-1)
+        flat_d = best[0].reshape(-1)
+        flat_proj = best[1].reshape(-1, 3)
+        snap = (flat_slot < N) & (flat_d <= cfg.anastomosis_tol)
+    else:
+        # per-tip windows gathered from the dense table (CPU-friendly)
+        tbl_cols = seg_tbl.reshape(g * g, gz * C)
+        cx, cy, _ = cell_coords(tip_end, cfg)
+        best = (jnp.full((H,), big), jnp.zeros((H, 3), dtype))
+        for dx, dy in offs:
+            nx = jnp.clip(cx + dx, 0, g - 1)
+            ny = jnp.clip(cy + dy, 0, g - 1)
+            cand = tbl_cols[nx * g + ny]                      # (H, gz*C)
+            geo = sgeo_pad[cand]                              # (H, gz*C, 6)
+            d, proj = point_segment_distance(
+                tip_end[:, None, :], geo[..., 0:3], geo[..., 3:6])
+            best = fold_offset(best, d, proj, cand, t[:, None])
+        flat_slot = jnp.where(tip_ok, t, N)
+        flat_d = best[0]
+        flat_proj = best[1]
+        snap = tip_ok & (flat_d <= cfg.anastomosis_tol)
 
-    # exclude the tip segment itself (reference skips only (hi, tip_idx))
-    invalid = (~cand_ok) | (cand == t[:, None, None])
-    big = jnp.asarray(jnp.inf, dist.dtype)
-    dist = jnp.where(invalid, big, dist)
-
-    dist_flat = dist.reshape(H, -1)
-    best = jnp.argmin(dist_flat, axis=1)               # lowest index wins ties
-    best_dist = jnp.take_along_axis(dist_flat, best[:, None], axis=1)[:, 0]
-    proj_flat = proj.reshape(H, -1, 3)
-    best_proj = jnp.take_along_axis(proj_flat, best[:, None, None],
-                                    axis=1)[:, 0, :]
-
-    snap = is_tip_active & (best_dist <= cfg.anastomosis_tol)
-    idx = jnp.where(snap, t, N)
-    end = st.end.at[idx].set(best_proj, mode="drop")
+    # ---- scatter snaps back to tip segment slots
+    idx = jnp.where(snap, flat_slot, N)
+    end = st.end.at[idx].set(flat_proj, mode="drop")
     state = st.state.at[idx].set(ANASTOMOSED, mode="drop")
     return st._replace(end=end, state=state)

@@ -295,3 +295,20 @@ def test_walls_leave_interior_tips_alone():
     st, ea = build_chain(cfg, [1e-6, 1e-6])
     out = enforce_walls(st, ea, cfg, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out.end), np.asarray(st.end))
+
+
+def test_anastomosis_strategies_agree():
+    """'grid' (TPU rolls) and 'window' (CPU gathers) must produce the same
+    snaps on the same state."""
+    from mycelium_tpu.growth.step import growth_step
+    cfg = GrowthConfig(t_steps=6, max_segments=4096, max_hyphae=2048,
+                       dtype="float32")
+    st, ea = init_state(cfg)
+    for _ in range(6):
+        st = growth_step(st, ea, cfg)
+    out_w = detect_anastomosis(st, cfg, strategy="window")
+    out_g = detect_anastomosis(st, cfg, strategy="grid")
+    np.testing.assert_array_equal(np.asarray(out_w.state),
+                                  np.asarray(out_g.state))
+    np.testing.assert_allclose(np.asarray(out_w.end),
+                               np.asarray(out_g.end), atol=1e-7)
