@@ -87,21 +87,29 @@ def run_growth(cfg: GrowthConfig, env: Environment | None = None,
     st, ea = init_state(cfg, env, seed)
     if initial_state is not None:
         st = initial_state
-    history: List[Dict] = []
     start_step = int(jax.device_get(st.step))
-    for t in range(start_step, cfg.t_steps):
-        st = growth_step(st, ea, cfg)
+    device_stats = []     # fetched in ONE device_get at the end: per-step
+    for t in range(start_step, cfg.t_steps):   # fetches cost ~30ms RTT each
+        st = growth_step(st, ea, cfg)          # on tunnel-attached TPUs
         if checkpoint_path and checkpoint_every > 0 \
                 and (t + 1) % checkpoint_every == 0:
             from ..io.checkpoint import save_growth_state
             save_growth_state(checkpoint_path, st)
-        stats = summarize(st, cfg)
-        stats["step"] = t
-        history.append(stats)
-        if verbose:
-            print(f"Step {t}: {stats}")
-        if on_step is not None:
-            on_step(t, st)
+        device_stats.append(summarize_device(st, cfg))
+        if verbose or on_step is not None:
+            stats = summarize(st, cfg)
+            stats["step"] = t
+            if verbose:
+                print(f"Step {t}: {stats}")
+            if on_step is not None:
+                on_step(t, st)
+    fetched = jax.device_get(device_stats)
+    history: List[Dict] = []
+    for t, d in zip(range(start_step, cfg.t_steps), fetched):
+        row = {k: (float(v) if k == "total_length_mm" else int(v))
+               for k, v in d.items()}
+        row["step"] = t
+        history.append(row)
     if bool(jax.device_get(st.overflow)):
         import warnings
         warnings.warn("growth capacity exhausted: increase "
