@@ -102,6 +102,9 @@ class FeaConfig:
     use_pallas: bool = False           # run the whole PCG in one Pallas
                                        # kernel (requires operator='chain',
                                        # f32; TPU only)
+    coarse_basis: str = "const"        # two-level PC coarse space per
+                                       # 128-node cluster: 'const' |
+                                       # 'linear' (adds an in-chain ramp)
     rtol: float = 1e-8                 # CG relative residual tolerance
     atol: float = 0.0
     max_iter: int = 20000

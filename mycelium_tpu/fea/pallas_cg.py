@@ -141,7 +141,7 @@ def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
     )
 
 
-def _cg_kernel(nb, jp, max_iter, rtol, reg,
+def _cg_kernel(nb, jp, max_iter, rtol, reg, use_ramp,
                uk_ref, x0_ref, freem_ref, cact_ref, jact_ref,
                cn_ref, ckax_ref, ckbd_ref,
                ab_blk_ref, ab_lane_ref, jscal_ref,
@@ -231,16 +231,28 @@ def _cg_kernel(nb, jp, max_iter, rtol, reg,
         uf = freem * u
         return freem * (matvec_raw(uf) + reg * uf) + pinm * u
 
+    rampl = (lane.astype(f32) - (BLOCK - 1) / 2) / (BLOCK / 2)
+
     def precond(r):
         # block-Jacobi: z[plane i] = sum_j C_j[plane i] * r[plane (i+j)%3]
         z = (c3[0] * r + c3[1] * roll(r, -nb, 0)
              + c3[2] * roll(r, -2 * nb, 0))
         # additive coarse-grid correction (two-level Schwarz): clusters are
-        # the 128-node rows of the plane layout, so restriction is a lane
-        # row-sum and prolongation a lane broadcast
-        rc = jnp.sum(r, axis=1, keepdims=True)            # (3NB, 1)
-        zc = jnp.dot(ainv_ref[:], rc, precision=hi,
-                     preferred_element_type=f32)          # (3NB, 1)
+        # the 128-node rows, with a piecewise-linear basis per cluster
+        # (constant + in-chain ramp) — restriction is two lane reductions,
+        # prolongation two lane broadcasts
+        rc0 = jnp.sum(r, axis=1, keepdims=True)           # (3NB, 1)
+        if use_ramp:
+            rc1 = jnp.sum(r * rampl, axis=1, keepdims=True)
+            rc = jnp.concatenate([rc0, rc1], axis=0)      # (6NB, 1)
+        else:
+            rc = rc0
+        # default precision: the preconditioner only needs to be a fixed
+        # linear SPD-ish operator, not exact — bf16 passes are 3x cheaper
+        zc = jnp.dot(ainv_ref[:], rc,
+                     preferred_element_type=f32)
+        if use_ramp:
+            return z + freem * (zc[:s_rows] + rampl * zc[s_rows:])
         return z + freem * zc
 
     def dot(a, b):
@@ -285,49 +297,74 @@ def _cg_kernel(nb, jp, max_iter, rtol, reg,
     stats_ref[:] = stats
 
 
+def _ramp_weight(pos_in_cluster):
+    """Normalized linear coordinate within a 128-node cluster, in [-1, 1]."""
+    return (pos_in_cluster.astype(jnp.float32) - (BLOCK - 1) / 2) \
+        / (BLOCK / 2)
+
+
 def _coarse_inverse(model, plan, active, free, cfg, nb):
     """Galerkin coarse operator for the two-level preconditioner.
 
     Clusters = 128 consecutive chain-ordered nodes (one row of the plane
-    layout); coarse DOF index is plane-major (k*NB + cluster) to match the
-    kernel's stacked residual. Assembled from the BC'd operator
-    P·K·P + (I−P) + reg·P, then symmetrically normalized and inverted
-    (3·NB is ~200 even at 1e5 DOF, so a dense inverse is trivial)."""
+    layout). The coarse space is piecewise LINEAR along the chain per
+    cluster per component — a constant and an in-chain ramp function —
+    which captures the dominant stretching modes of long hyphae far better
+    than constants alone. Coarse DOF index = f*3*NB + k*NB + cluster with
+    f in {const, ramp}; assembled from the free-masked operator
+    P·K·P + reg·P, symmetrically normalized, and densely inverted
+    (6·NB is ~400 at 1e5 DOF — trivial)."""
     from .elements import element_stiffness_batch
     f32 = jnp.float32
     conn = model.conn
     nc3 = 3 * nb
-    cl = plan.inv_perm // BLOCK                      # (N,) cluster ids
+    nc = (2 if cfg.coarse_basis == "linear" else 1) * nc3
+    n_basis = 2 if cfg.coarse_basis == "linear" else 1
+    pos = plan.inv_perm                              # (N,) chain position
+    cl = pos // BLOCK                                # (N,) cluster ids
+    ramp = _ramp_weight(pos % BLOCK)                 # (N,)
     ke = element_stiffness_batch(model.geom).astype(f32)      # (E,6,6)
     f = free.astype(f32)
-    f1 = f[conn[:, 0]]
-    f2 = f[conn[:, 1]]
-    m6 = jnp.concatenate([jnp.repeat(f1[:, None], 3, 1),
-                          jnp.repeat(f2[:, None], 3, 1)], axis=1)  # (E,6)
-    vals = ke * (m6[:, :, None] * m6[:, None, :]) \
-        * active.astype(f32)[:, None, None]
+    # expand the 6x6 element block to the coarse dofs: order
+    # (endpoint, basis) groups x 3 comps = [p0c(, p0r), p1c(, p1r)] x xyz
+    rowmap = jnp.asarray(
+        ([0, 1, 2] * n_basis) + ([3, 4, 5] * n_basis), jnp.int32)
+    ke12 = ke[:, rowmap][:, :, rowmap]               # (E,6b,6b)
+    w = []
+    dof = []
     comp = jnp.arange(3, dtype=jnp.int32)
-    c1 = cl[conn[:, 0]]
-    c2 = cl[conn[:, 1]]
-    dof = jnp.concatenate([comp[None, :] * nb + c1[:, None],
-                           comp[None, :] * nb + c2[:, None]], axis=1)
-    rows = jnp.repeat(dof, 6, axis=1)
-    cols = jnp.tile(dof, (1, 6))
-    flat = (rows * nc3 + cols).reshape(-1)
-    a = jnp.zeros((nc3 * nc3,), f32).at[flat].add(vals.reshape(-1))
-    # reg·P diagonal per node. NO (I-P) identity term: the restriction is
-    # free-masked (pinned residual rows are zero), and identity entries
-    # from grip nodes would otherwise dominate every mixed cluster and
-    # flatten the coarse correction to ~diag(#pinned)^-1.
-    dnode = np.float32(cfg.reg) * f
-    didx = comp[None, :] * nb + cl[:, None]          # (N,3)
-    dflat = (didx * nc3 + didx).reshape(-1)
-    a = a.at[dflat].add(jnp.repeat(dnode[:, None], 3, 1).reshape(-1))
-    a = a.reshape(nc3, nc3)
+    for p in range(2):
+        n_p = conn[:, p]
+        for fb in range(n_basis):                    # basis: const(, ramp)
+            wgt = (f[n_p] if fb == 0 else f[n_p] * ramp[n_p])
+            w.append(jnp.repeat(wgt[:, None], 3, axis=1))
+            dof.append(fb * nc3 + comp[None, :] * nb + cl[n_p][:, None])
+    nd = 6 * n_basis
+    w12 = jnp.concatenate(w, axis=1)                 # (E,6b)
+    dof12 = jnp.concatenate(dof, axis=1)             # (E,6b)
+    vals = ke12 * (w12[:, :, None] * w12[:, None, :]) \
+        * active.astype(f32)[:, None, None]
+    rows = jnp.repeat(dof12, nd, axis=1)
+    cols = jnp.tile(dof12, (1, nd))
+    flat = (rows * nc + cols).reshape(-1)
+    a = jnp.zeros((nc * nc,), f32).at[flat].add(vals.reshape(-1))
+    # reg·P per node: 2x2 basis block [1, r; r, r^2] per comp. NO (I-P)
+    # identity term: the restriction is free-masked (pinned residual rows
+    # are zero) and grip identity entries would flatten the correction.
+    dreg = np.float32(cfg.reg) * f
+    base = comp[None, :] * nb + cl[:, None]          # (N,3)
+    for fa in range(n_basis):
+        for fb in range(n_basis):
+            wv = dreg * (ramp ** (fa + fb))
+            ia = fa * nc3 + base
+            ib = fb * nc3 + base
+            a = a.at[(ia * nc + ib).reshape(-1)].add(
+                jnp.repeat(wv[:, None], 3, 1).reshape(-1))
+    a = a.reshape(nc, nc)
     d = jnp.diagonal(a)
     s = jnp.where(d > 0, jax.lax.rsqrt(jnp.maximum(d, 1e-30)), 1.0)
     an = s[:, None] * a * s[None, :] \
-        + np.float32(1e-5) * jnp.eye(nc3, dtype=f32) \
+        + np.float32(1e-5) * jnp.eye(nc, dtype=f32) \
         + jnp.diag(jnp.where(d > 0, 0.0, 1.0).astype(f32))
     ainv_n = jnp.linalg.inv(an)
     return s[:, None] * ainv_n * s[None, :]
@@ -370,7 +407,8 @@ def pallas_chain_solve(model, packed: PackedChainData, active,
     ainv = _coarse_inverse(model, plan, active, free, cfg, nb)
 
     kernel = functools.partial(_cg_kernel, nb, jp, cfg.max_iter,
-                               np.float32(cfg.rtol), np.float32(cfg.reg))
+                               np.float32(cfg.rtol), np.float32(cfg.reg),
+                               cfg.coarse_basis == "linear")
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     x_p, stats = pl.pallas_call(
         kernel,

@@ -89,12 +89,7 @@ def ramp_step(model: FeaModel, cfg: FeaConfig, active, x0, dy_top, dy_bot,
     res = solve_displacement(model, active, dy_top, dy_bot, x0, cfg,
                              anchored)
     u = res.x                                            # (N,3)
-    f_react = apply_stiffness(model, u, active, cfg.operator)
-    total_force = jnp.sum(jnp.where(model.top_nodes, f_react[:, 1], 0.0))
-    strain = element_strain(u, model.conn, model.geom)
-    stress = jnp.where(active, cfg.e_mod * strain, 0.0)
-    active_new = jnp.logical_and(active,
-                                 jnp.abs(strain) <= cfg.max_strain)
+    stress, active_new, total_force = post_solve(model, cfg, u, active)
     return u, stress, active_new, total_force, res.iters, res.resnorm
 
 
@@ -102,6 +97,22 @@ def ramp_step(model: FeaModel, cfg: FeaConfig, active, x0, dy_top, dy_bot,
 # TPU backend, large constants embedded in an executable are re-materialized
 # on every call (~1000x slowdown); cfg is hashable and static.
 jit_ramp_step = jax.jit(ramp_step, static_argnums=(1,))
+
+
+def post_solve(model: FeaModel, cfg: FeaConfig, u, active):
+    """Reactions -> stress -> fracture, given a solved displacement field
+    (shared by the single-chip and sharded ramp drivers)."""
+    f_react = apply_stiffness(model, u, active,
+                              "ell" if cfg.operator == "chain"
+                              else cfg.operator)
+    total_force = jnp.sum(jnp.where(model.top_nodes, f_react[:, 1], 0.0))
+    strain = element_strain(u, model.conn, model.geom)
+    stress = jnp.where(active, cfg.e_mod * strain, 0.0)
+    active_new = jnp.logical_and(active, jnp.abs(strain) <= cfg.max_strain)
+    return stress, active_new, total_force
+
+
+jit_post_solve = jax.jit(post_solve, static_argnums=(1,))
 
 
 def run_ramp(coords, conn, cfg: FeaConfig,
@@ -222,6 +233,73 @@ def run_ramp_scan(coords, conn, cfg: FeaConfig,
         solve_seconds=np.full((cfg.n_steps,), np.nan),
         cg_iters=np.asarray(iters, dtype=np.int64),
         total_seconds=total,
+    )
+
+
+def run_ramp_sharded(coords, conn, cfg: FeaConfig, mesh,
+                     model: Optional[FeaModel] = None,
+                     verbose: bool = False) -> RampResult:
+    """The full pull test with every solve domain-decomposed over a device
+    mesh — the end-to-end equivalent of the reference's MPI binary
+    (mpirun -np 4 fea_petsc_parallel, SURVEY.md §3.4). Records match the
+    single-chip driver to solver tolerance (asserted in tests)."""
+    from .shard import sharded_cg_solver
+    t0 = time.time()
+    if model is None:
+        model = build_model(coords, conn, cfg)
+    dtype = model.coords.dtype
+    solver = sharded_cg_solver(model, cfg, mesh)
+
+    conn_np = np.asarray(model.conn)
+    grip_np = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))
+    anchored = jnp.asarray(anchored_mask_host(
+        conn_np, np.ones(model.n_elems, bool), grip_np))
+
+    active = jnp.ones((model.n_elems,), dtype=bool)
+    u_prev = jnp.zeros((model.n_nodes, 3), dtype=dtype)
+    prev_factor = 0.0
+    stress_rec, active_rec, disp_rec, fd_rec = [], [], [], []
+    solve_secs, iters_rec = [], []
+
+    for step in range(cfg.n_steps):
+        dy_top, dy_bot = _step_factors(cfg, step)
+        factor = step / (cfg.n_steps - 1)
+        if cfg.warm_start and prev_factor > 0:
+            x0 = u_prev * (factor / prev_factor)
+        else:
+            x0 = jnp.zeros_like(u_prev)
+        ts = time.time()
+        res = solver(active, jnp.asarray(dy_top, dtype),
+                     jnp.asarray(dy_bot, dtype), x0, anchored)
+        stress, active_new, total_force = jit_post_solve(
+            model, cfg, res.x, active)
+        solve_secs.append(time.time() - ts)
+
+        stress_rec.append(np.asarray(stress))
+        active_rec.append(np.asarray(active_new))
+        disp_rec.append(np.asarray(res.x).reshape(-1))
+        fd_rec.append([dy_top - dy_bot, float(total_force)])
+        iters_rec.append(int(res.iters))
+        if verbose:
+            print(f"step {step + 1}: iters {int(res.iters)} "
+                  f"active {int(np.asarray(active_new).sum())}")
+
+        active_new_np = np.asarray(active_new)
+        if not np.array_equal(active_new_np, np.asarray(active)):
+            anchored = jnp.asarray(
+                anchored_mask_host(conn_np, active_new_np, grip_np))
+        u_prev, active, prev_factor = res.x, active_new, factor
+        if int(active_new_np.sum()) == 0:
+            break
+
+    return RampResult(
+        stress_record=np.stack(stress_rec),
+        active_record=np.stack(active_rec),
+        disp_record=np.stack(disp_rec),
+        force_disp=np.asarray(fd_rec, dtype=np.float64),
+        solve_seconds=np.asarray(solve_secs),
+        cg_iters=np.asarray(iters_rec, dtype=np.int64),
+        total_seconds=time.time() - t0,
     )
 
 

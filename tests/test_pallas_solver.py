@@ -65,3 +65,20 @@ def test_pallas_solve_with_fracture(growth_mesh):
     xp, xx = np.asarray(res_p.x), np.asarray(res_x.x)
     rel = np.linalg.norm(xp - xx) / max(np.linalg.norm(xx), 1e-30)
     assert rel < 1e-4, f"rel {rel:.2e}"
+
+
+def test_pallas_linear_coarse_basis(growth_mesh):
+    coords, conn = growth_mesh
+    cfg = FeaConfig(dtype="float32", rtol=1e-6, operator="chain",
+                    use_pallas=True, coarse_basis="linear")
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    model = build_model(coords, conn, cfg)
+    model_x = build_model(coords, conn, cfg_x)
+    active = jnp.ones((model.n_elems,), bool)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.float32)
+    res = solve_displacement(model, active, 0.01, -0.01, x0, cfg)
+    ref = solve_displacement(model_x, active, 0.01, -0.01, x0, cfg_x)
+    assert bool(res.converged)
+    rel = np.linalg.norm(np.asarray(res.x - ref.x)) / \
+        max(np.linalg.norm(np.asarray(ref.x)), 1e-30)
+    assert rel < 1e-4

@@ -79,3 +79,19 @@ def test_sharded_solve_with_fracture_and_anchored(growth_mesh):
     assert bool(res.converged)
     err = np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
     assert err < 1e-6, f"L2 {err:.3e}"
+
+
+def test_sharded_ramp_matches_single_chip():
+    """Full pull test over the 8-device mesh == single-chip ramp records
+    (the mpirun -np 1 vs -np 4 CSV-comparison contract, SURVEY.md §4.4)."""
+    from mycelium_tpu.fea.ramp import run_ramp, run_ramp_sharded
+    sc = scenes.test_X()
+    cfg = archive_parity_config(n_steps=8, displacement_max=0.06)
+    res1 = run_ramp(sc.coords, sc.conn, cfg)
+    resN = run_ramp_sharded(sc.coords, sc.conn, cfg, default_mesh(8))
+    assert res1.disp_record.shape == resN.disp_record.shape
+    np.testing.assert_allclose(resN.disp_record, res1.disp_record,
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_array_equal(resN.active_record, res1.active_record)
+    np.testing.assert_allclose(resN.force_disp, res1.force_disp,
+                               rtol=1e-7, atol=1e-16)
