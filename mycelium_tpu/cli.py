@@ -129,7 +129,14 @@ def cmd_fea(args) -> str:
 
     print(f"FEA on {results_dir}: {coords.shape[0]} nodes, "
           f"{conn.shape[0]} elements")
-    res = run_ramp(coords, conn, cfg, verbose=args.verbose)
+    if args.scan:
+        # one XLA program for the whole ramp (no per-step host sync);
+        # records are cut at the reference's early-stop point afterwards
+        from .fea import run_ramp_scan
+        from .fea.ramp import truncate_after_fracture
+        res = truncate_after_fracture(run_ramp_scan(coords, conn, cfg))
+    else:
+        res = run_ramp(coords, conn, cfg, verbose=args.verbose)
     fea_dir = os.path.join(results_dir, "fea_results")
     write_fea_records(fea_dir, res.stress_record, res.active_record,
                       res.disp_record, res.force_disp)
@@ -231,6 +238,8 @@ def build_parser() -> argparse.ArgumentParser:
         if positional:
             g.add_argument("results_dir")
         g.add_argument("--fea-steps", type=int, default=None)
+        g.add_argument("--scan", action="store_true",
+                       help="run the whole ramp as one device program")
         g.add_argument("--grip", type=float, default=None)
         g.add_argument("--disp-max", type=float, default=None)
         g.add_argument("--f64", action="store_true")
