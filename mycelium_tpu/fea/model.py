@@ -44,6 +44,9 @@ class FeaModel(NamedTuple):
                                # gather-free SpMV layout (cfg.operator='chain')
     chain_packed: object = None  # Optional[pallas_cg.PackedChainData] —
                                  # VMEM tables for the whole-solve kernel
+    tree: object = None        # Optional[tree_jax.TreePlan] — spanning-
+                               # forest elimination schedule
+                               # (cfg.precond='tree')
 
     @property
     def n_nodes(self) -> int:
@@ -125,6 +128,19 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
             from .pallas_cg import pack_plan
             chain_packed = pack_plan(chain_plan, coords.shape[0])
 
+    tree_plan = None
+    if cfg.precond == "tree":
+        from .tree import build_tree_schedule, element_k3, spanning_forest
+        from .tree_jax import build_tree_plan
+        d = coords[conn_np[:, 1]] - coords[conn_np[:, 0]]
+        length = np.linalg.norm(d, axis=1)
+        l_safe = np.maximum(length, 1e-12)
+        n_host = d / l_safe[:, None]
+        k3 = element_k3(n_host, (cfg.e_mod * cfg.area) / l_safe,
+                        12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3))
+        schedule = build_tree_schedule(conn_np, coords.shape[0], free)
+        tree_plan = build_tree_plan(schedule, k3, dtype)
+
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)
     geom = element_geometry(coords_j, conn_j, cfg)
@@ -140,6 +156,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         free_nodes=jnp.asarray(free),
         chain=chain_plan,
         chain_packed=chain_packed,
+        tree=tree_plan,
     )
 
 

@@ -42,6 +42,19 @@ def make_preconditioner(model: FeaModel, active: jnp.ndarray,
                         free_nodes: jnp.ndarray | None = None) -> Callable:
     if cfg.precond == "none":
         return lambda r: r
+    if cfg.precond == "tree":
+        from .tree_jax import tree_apply, tree_factor
+        free = model.free_nodes if free_nodes is None else free_nodes
+        # the PC's diagonal floor is RELATIVE to the element stiffness
+        # scale: fracture can leave tree-floating fragments held only by
+        # the regularization, and cfg.reg (1e-12) would amplify PC noise
+        # there by ~1e7x; the floor caps it without touching anchored
+        # modes (static python float — no runtime cost)
+        reg_pc = max(cfg.reg, cfg.tree_reg_rel * model.tree.meta.k_scale)
+        factor = tree_factor(model.tree, active, free,
+                             jnp.asarray(reg_pc, model.coords.dtype),
+                             model.conn)
+        return lambda r: tree_apply(model.tree, factor, r)
     blocks = diag_blocks(model, active, cfg, free_nodes)
     if cfg.precond == "jacobi":
         d = jnp.stack([blocks[:, 0, 0], blocks[:, 1, 1], blocks[:, 2, 2]],
@@ -166,8 +179,8 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
     u_k = prescribed_values(model, dy_top, dy_bot)
 
     if cfg.operator == "chain" and model.chain is not None \
-            and cfg.use_pallas and getattr(model, "chain_packed", None) \
-            is not None:
+            and cfg.use_pallas and cfg.precond != "tree" \
+            and getattr(model, "chain_packed", None) is not None:
         from .pallas_cg import pallas_chain_solve
         return pallas_chain_solve(model, model.chain_packed, active,
                                   dy_top, dy_bot, x0, cfg, anchored)
@@ -193,10 +206,17 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         b = jnp.where(freef,
                       -chain_apply(plan, chain_act, jump_act, u_k_p),
                       u_k_p)
-        inv_blocks = invert_blocks(diag_blocks(model, active, cfg,
-                                               free))[plan.perm]
-        precond = (lambda r: jnp.einsum("nij,nj->ni", inv_blocks, r)) \
-            if cfg.precond != "none" else (lambda r: r)
+        if cfg.precond == "tree":
+            # the tree solve lives in node space; wrap it with the chain
+            # permutation (two static gathers per iteration)
+            node_pc = make_preconditioner(model, active, cfg, free)
+            precond = lambda r: node_pc(r[plan.inv_perm])[plan.perm]  # noqa: E731
+        elif cfg.precond != "none":
+            inv_blocks = invert_blocks(diag_blocks(model, active, cfg,
+                                                   free))[plan.perm]
+            precond = lambda r: jnp.einsum("nij,nj->ni", inv_blocks, r)  # noqa: E731
+        else:
+            precond = lambda r: r  # noqa: E731
         bnorm = jnp.sqrt(_dot(jnp.where(freef, b, 0.0),
                               jnp.where(freef, b, 0.0)))
         res = SOLVERS[cfg.solver](operator, b, x0_p, precond, cfg.rtol,

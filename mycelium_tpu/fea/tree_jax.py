@@ -1,0 +1,391 @@
+"""Device (JAX) implementation of the spanning-forest preconditioner.
+
+Everything here consumes the static schedule built by tree.build_tree_schedule
+(host, once per mesh) converted to a device pytree (TreePlan): all levels'
+slots concatenated into ONE global slot space so inter-level Schur flows are
+single scatters, and each level's block-tridiagonal solves run as parallel
+cyclic reduction (PCR) — log2(max path length) rounds of shifted 3x3 block
+products, no sequential recurrences, no data-dependent shapes.
+
+  factor (once per solve): tree_factor(plan, k3, active, free, reg)
+      -> TreeFactor pytree (PCR coefficients + attachment couplings)
+  apply (per CG iteration): tree_apply(plan, factor, r)
+      -> z = K_tree^{-1} r   (pinned rows pass through)
+
+The oracle for both is the numpy implementation in tree.py (tests compare
+them element-wise). See tree.py's module docstring for why this exists:
+the forest solve takes CG on the archived mesh from 872 iterations to 9.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tree import KIND_ELEM, KIND_FILL, KIND_NONE, TreeSchedule
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class TreeMeta:
+    """Static shape info (hashable; part of the jit cache key)."""
+    level_offsets: tuple        # slot-space offset per level, + total
+    path_offsets: tuple         # path-space offset per level, + total
+    level_steps: tuple          # PCR rounds per level
+    k_scale: float = 1.0        # median element stiffness (reg floor ref)
+
+
+class TreePlan(NamedTuple):
+    """Device form of the static schedule. Slot/path arrays of ALL levels
+    are concatenated; meta.level_offsets/path_offsets delimit them."""
+    meta: TreeMeta
+    tree_edge: jnp.ndarray    # (E,) bool — spanning-forest membership
+    k3: jnp.ndarray           # (E,3,3) element coupling stiffnesses
+    slots: jnp.ndarray        # (S,) int32 node id per global slot
+    # left-edge (slot i-1 -- slot i) source; sentinels: elem=E, fill=P
+    left_elem: jnp.ndarray    # (S,) int32
+    left_fill: jnp.ndarray    # (S,) int32 fill id == producing path index
+    left_fill_flip: jnp.ndarray  # (S,) bool
+    first_gpos: jnp.ndarray   # (P,) int32 global slot index of path start
+    last_gpos: jnp.ndarray    # (P,) int32
+    att_elem: jnp.ndarray     # (P, 2) int32 (sentinel E)
+    att_fill: jnp.ndarray     # (P, 2) int32 (sentinel P)
+    att_flip: jnp.ndarray     # (P, 2) bool
+    att_tgt: jnp.ndarray      # (P, 2) int32 global slot of junction
+                              # (sentinel S when no attachment)
+    has_fill: jnp.ndarray     # (P,) bool — path produces a fill edge
+
+    @property
+    def n_slots(self) -> int:
+        return self.slots.shape[0]
+
+    @property
+    def n_paths(self) -> int:
+        return self.first_gpos.shape[0]
+
+
+class TreeFactor(NamedTuple):
+    """Per-solve numeric factorization (pytree of device arrays)."""
+    # PCR coefficients, one (steps, S_l, 3, 3) pair per level
+    alphas: tuple
+    betas: tuple
+    dinv: jnp.ndarray         # (S, 3, 3) final decoupled block inverses
+    att_b: jnp.ndarray        # (P, 2, 3, 3) attachment couplings B[j, s]
+
+
+def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
+                    dtype) -> TreePlan:
+    """Convert the host schedule (+ element couplings) to the device
+    layout."""
+    lv_off, pa_off = [0], [0]
+    steps = []
+    slots, le, lf, lff = [], [], [], []
+    fgp, lgp = [], []
+    a_e, a_f, a_fl, a_tg = [], [], [], []
+    hasf = []
+    E = len(schedule.conn)
+
+    # fill id == global producing-path index; build the map first
+    fill_to_path = {}
+    p_base = 0
+    for lv in schedule.levels:
+        for p, f in enumerate(lv.fill_out):
+            if f >= 0:
+                fill_to_path[int(f)] = p_base + p
+        p_base += len(lv.first_pos)
+    P_tot = p_base
+
+    s_base = 0
+    p_base = 0
+    lv_starts = []
+    for lv in schedule.levels:
+        lv_starts.append(s_base)
+        s_base += len(lv.slots)
+        p_base += len(lv.first_pos)
+    S_tot = s_base
+
+    s_base = p_base = 0
+    for lv in schedule.levels:
+        S = len(lv.slots)
+        P = len(lv.first_pos)
+        slots.append(lv.slots)
+        is_e = lv.left_kind == KIND_ELEM
+        is_f = lv.left_kind == KIND_FILL
+        le.append(np.where(is_e, lv.left_id, E).astype(np.int32))
+        lf.append(np.where(
+            is_f, [fill_to_path.get(int(i), P_tot) for i in lv.left_id],
+            P_tot).astype(np.int32))
+        lff.append(lv.left_flip & is_f)
+        fgp.append(lv.first_pos.astype(np.int64) + s_base)
+        lgp.append(lv.last_pos.astype(np.int64) + s_base)
+        ae = np.where(lv.att_kind == KIND_ELEM, lv.att_id, E)
+        af = np.where(
+            lv.att_kind == KIND_FILL,
+            np.vectorize(lambda i: fill_to_path.get(int(i), P_tot))(
+                lv.att_id) if lv.att_id.size else lv.att_id,
+            P_tot)
+        a_e.append(ae.astype(np.int32))
+        a_f.append(af.astype(np.int32))
+        a_fl.append(lv.att_flip)
+        tg = np.where(lv.att_kind == KIND_NONE, S_tot,
+                      np.asarray([[lv_starts[l] for l in row]
+                                  for row in lv.att_level])
+                      + lv.att_pos)
+        a_tg.append(tg.astype(np.int32))
+        hasf.append(lv.fill_out >= 0)
+        # PCR rounds: enough for the longest path at this level
+        lens = lv.last_pos - lv.first_pos + 1
+        maxlen = int(lens.max()) if len(lens) else 1
+        steps.append(max(int(np.ceil(np.log2(max(maxlen, 1)))), 0))
+        lv_off.append(lv_off[-1] + S)
+        pa_off.append(pa_off[-1] + P)
+        s_base += S
+
+    cat = lambda xs, dt: jnp.asarray(np.concatenate(xs), dt)  # noqa: E731
+
+    k3_np = np.asarray(k3)
+    k_scale = (float(np.median(np.trace(k3_np, axis1=1, axis2=2) / 3.0))
+               if len(k3_np) else 1.0)
+
+    if not schedule.levels:   # fully gripped scene: nothing to eliminate
+        z1 = jnp.zeros((0,), jnp.int32)
+        z2 = jnp.zeros((0, 2), jnp.int32)
+        return TreePlan(
+            meta=TreeMeta(level_offsets=(0,), path_offsets=(0,),
+                          level_steps=(), k_scale=k_scale),
+            tree_edge=jnp.asarray(schedule.tree_edge),
+            k3=jnp.asarray(k3, dtype),
+            slots=z1, left_elem=z1, left_fill=z1,
+            left_fill_flip=jnp.zeros((0,), bool),
+            first_gpos=z1, last_gpos=z1,
+            att_elem=z2, att_fill=z2,
+            att_flip=jnp.zeros((0, 2), bool), att_tgt=z2,
+            has_fill=jnp.zeros((0,), bool))
+    return TreePlan(
+        meta=TreeMeta(level_offsets=tuple(lv_off),
+                      path_offsets=tuple(pa_off),
+                      level_steps=tuple(steps), k_scale=k_scale),
+        tree_edge=jnp.asarray(schedule.tree_edge),
+        k3=jnp.asarray(k3, dtype),
+        slots=cat(slots, jnp.int32),
+        left_elem=cat(le, jnp.int32),
+        left_fill=cat(lf, jnp.int32),
+        left_fill_flip=cat(lff, bool),
+        first_gpos=cat(fgp, jnp.int32),
+        last_gpos=cat(lgp, jnp.int32),
+        att_elem=cat(a_e, jnp.int32),
+        att_fill=cat(a_f, jnp.int32),
+        att_flip=cat(a_fl, bool),
+        att_tgt=cat(a_tg, jnp.int32),
+        has_fill=cat(hasf, bool),
+    )
+
+
+def _inv3(m):
+    """Batched 3x3 inverse via adjugate (matches model.invert_blocks)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(det != 0, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), (b * f - c * e)], -1),
+        jnp.stack([B, (a * i - c * g), -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), (a * e - b * d)], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def _shift(x, k):
+    """y[i] = x[i+k] along axis 0, rolling (wrap contributions are always
+    multiplied by couplings that are zero across path boundaries)."""
+    return jnp.roll(x, -k, axis=0)
+
+
+def _mm(a, b):
+    return jnp.einsum("nij,njk->nik", a, b)
+
+
+def _pcr_coeffs(D, B, steps):
+    """PCR coefficient recurrence on a block tridiagonal with row i
+    couplings L_i = B[i]^T (to i-1) and R_i = B[i+1] (to i+1). Returns
+    (alphas, betas) stacked over rounds and the final block inverses."""
+    L = jnp.swapaxes(B, -1, -2)
+    R = _shift(B, 1)
+    alphas, betas = [], []
+    s = 1
+    for _ in range(steps):
+        dinv = _inv3(D)
+        a = _mm(L, _shift(dinv, -s))
+        b = _mm(R, _shift(dinv, s))
+        D = D - _mm(a, _shift(R, -s)) - _mm(b, _shift(L, s))
+        Ln = -_mm(a, _shift(L, -s))
+        Rn = -_mm(b, _shift(R, s))
+        alphas.append(a)
+        betas.append(b)
+        L, R = Ln, Rn
+        s *= 2
+    n = D.shape[0]
+    z = jnp.zeros((0, n, 3, 3), D.dtype)
+    al = jnp.stack(alphas) if alphas else z
+    be = jnp.stack(betas) if betas else z
+    return al, be, _inv3(D)
+
+
+def _pcr_apply(alphas, betas, dinv, r):
+    """x = T^{-1} r given PCR coefficients. r: (S, 3, ...) -> same."""
+    steps = alphas.shape[0]
+    s = 1
+    mv = "nij,nj...->ni..."
+    for k in range(steps):
+        r = r - jnp.einsum(mv, alphas[k], _shift(r, -s)) \
+              - jnp.einsum(mv, betas[k], _shift(r, s))
+        s *= 2
+    return jnp.einsum(mv, dinv, r)
+
+
+def tree_factor(plan: TreePlan, active: jnp.ndarray,
+                free_now: jnp.ndarray, reg,
+                conn: jnp.ndarray) -> TreeFactor:
+    """Numeric factorization (jit-safe; called once per solve).
+
+    active: (E,) bool; free_now: (N,) bool (grips AND anchored);
+    conn: (E,2)."""
+    meta = plan.meta
+    k3 = plan.k3
+    E = conn.shape[0]
+    N = free_now.shape[0]
+    S_tot = plan.n_slots
+    P_tot = plan.n_paths
+    dtype = k3.dtype
+
+    m_tree = active & plan.tree_edge
+    m_couple = (m_tree & free_now[conn[:, 0]] & free_now[conn[:, 1]]
+                & (conn[:, 0] != conn[:, 1]))
+    k_eff = k3 * m_tree[:, None, None]
+    # diag: sum of incident active tree-edge couplings + reg, identity on
+    # pinned rows
+    D_nodes = jnp.zeros((N, 3, 3), dtype)
+    D_nodes = D_nodes.at[conn[:, 0]].add(k_eff)
+    D_nodes = D_nodes.at[conn[:, 1]].add(k_eff)
+    eye = jnp.eye(3, dtype=dtype)
+    D_nodes = D_nodes + reg * eye[None]
+    D_nodes = jnp.where(free_now[:, None, None], D_nodes, eye[None])
+
+    # couplings indexed by source, with sentinel rows appended
+    k_pad = jnp.concatenate(
+        [-k3 * m_couple[:, None, None], jnp.zeros((1, 3, 3), dtype)])
+
+    D_g = D_nodes[plan.slots]                     # (S,3,3)
+    fill_B = jnp.zeros((P_tot + 1, 3, 3), dtype)  # + sentinel row
+    dacc = jnp.zeros((S_tot + 1, 3, 3), dtype)    # + sentinel row
+
+    alphas, betas = [], []
+    dinv_parts = []
+    attb_parts = []
+    L = len(meta.level_steps)
+    for li in range(L):
+        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
+        D_l = D_g[s0:s1] + dacc[s0:s1]
+        lf = plan.left_fill[s0:s1]
+        B_fill = fill_B[lf]
+        B_fill = jnp.where(plan.left_fill_flip[s0:s1, None, None],
+                           jnp.swapaxes(B_fill, -1, -2), B_fill)
+        B_l = k_pad[plan.left_elem[s0:s1]] + B_fill
+        al, be, dinv = _pcr_coeffs(D_l, B_l, meta.level_steps[li])
+        alphas.append(al)
+        betas.append(be)
+        dinv_parts.append(dinv)
+
+        # attachment couplings B[j, s]
+        fg = plan.first_gpos[p0:p1] - s0
+        lg = plan.last_gpos[p0:p1] - s0
+        ab = k_pad[plan.att_elem[p0:p1]] \
+            + fill_B[plan.att_fill[p0:p1]]
+        ab = jnp.where(plan.att_flip[p0:p1, :, None, None],
+                       jnp.swapaxes(ab, -1, -2), ab)       # (P,2,3,3)
+        attb_parts.append(ab)
+
+        # corner blocks of T^{-1}: one 6-column PCR solve (unit blocks at
+        # every first slot -> cols 0:3, every last slot -> cols 3:6; paths
+        # are decoupled so they don't interact)
+        S_l = s1 - s0
+        rhs = jnp.zeros((S_l, 3, 6), dtype)
+        rhs = rhs.at[fg, :, 0:3].add(eye)
+        rhs = rhs.at[lg, :, 3:6].add(eye)
+        X = _pcr_apply(al, be, dinv, rhs)          # (S,3,6)
+        Mff = X[fg, :, 0:3]
+        Mlf = X[lg, :, 0:3]
+        Mll = X[lg, :, 3:6]
+        Mfl = X[fg, :, 3:6]
+        # Schur corrections dG_j = -B[j,s] M_ss B[j,s]^T
+        bl, br = ab[:, 0], ab[:, 1]
+        dg_l = -_mm(_mm(bl, Mff), jnp.swapaxes(bl, -1, -2))
+        dg_r = -_mm(_mm(br, Mll), jnp.swapaxes(br, -1, -2))
+        tgt = plan.att_tgt[p0:p1]
+        dacc = dacc.at[tgt[:, 0]].add(dg_l)
+        dacc = dacc.at[tgt[:, 1]].add(dg_r)
+        # fill edge B[jl, jr] = -B[jl,f] M_fl B[jr,l]^T
+        fb = -_mm(_mm(bl, Mfl), jnp.swapaxes(br, -1, -2))
+        fb = fb * plan.has_fill[p0:p1, None, None]
+        fill_B = fill_B.at[jnp.arange(p0, p1)].set(fb)
+
+    dinv_all = (jnp.concatenate(dinv_parts) if dinv_parts
+                else jnp.zeros((0, 3, 3), dtype))
+    attb_all = (jnp.concatenate(attb_parts) if attb_parts
+                else jnp.zeros((0, 2, 3, 3), dtype))
+    return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
+                      dinv=dinv_all, att_b=attb_all)
+
+
+def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
+               ) -> jnp.ndarray:
+    """z = K_tree^{-1} r for (N,3) r; pinned rows pass through."""
+    meta = plan.meta
+    L = len(meta.level_steps)
+    S_tot = plan.n_slots
+    racc = jnp.concatenate(
+        [r[plan.slots], jnp.zeros((1, 3), r.dtype)])     # + sentinel
+    mv = "nij,nj->ni"
+
+    ys = []
+    for li in range(L):
+        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
+        y = _pcr_apply(factor.alphas[li], factor.betas[li],
+                       factor.dinv[s0:s1], racc[s0:s1])
+        ys.append(y)
+        ab = factor.att_b[p0:p1]
+        fg = plan.first_gpos[p0:p1] - s0
+        lg = plan.last_gpos[p0:p1] - s0
+        tgt = plan.att_tgt[p0:p1]
+        racc = racc.at[tgt[:, 0]].add(-jnp.einsum(mv, ab[:, 0], y[fg]))
+        racc = racc.at[tgt[:, 1]].add(-jnp.einsum(mv, ab[:, 1], y[lg]))
+
+    u_all = jnp.zeros((S_tot + 1, 3), r.dtype)
+    for li in range(L - 1, -1, -1):
+        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
+        ab = factor.att_b[p0:p1]
+        fg = plan.first_gpos[p0:p1] - s0
+        lg = plan.last_gpos[p0:p1] - s0
+        tgt = plan.att_tgt[p0:p1]
+        uj0 = u_all[tgt[:, 0]]
+        uj1 = u_all[tgt[:, 1]]
+        z = jnp.zeros((s1 - s0, 3), r.dtype)
+        mtv = "nji,nj->ni"
+        z = z.at[fg].add(jnp.einsum(mtv, ab[:, 0], uj0))
+        z = z.at[lg].add(jnp.einsum(mtv, ab[:, 1], uj1))
+        u = ys[li] - _pcr_apply(factor.alphas[li], factor.betas[li],
+                                factor.dinv[s0:s1], z)
+        u_all = u_all.at[s0:s1].set(u)
+
+    return r.at[plan.slots].set(u_all[:S_tot])

@@ -1,0 +1,167 @@
+"""Spanning-forest preconditioner: schedule, numpy oracle, device port.
+
+Validates (a) the numpy factor/apply against scipy splu of the BC'd tree
+matrix, (b) the JAX implementation against the numpy oracle, (c) the
+iteration-count win and solution parity inside the full solver.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from mycelium_tpu import scenes
+from mycelium_tpu.config import FeaConfig
+from mycelium_tpu.fea import tree as tr
+from mycelium_tpu.fea import tree_jax as trj
+from mycelium_tpu.fea.assemble import assemble_scipy
+from mycelium_tpu.fea.model import build_model
+from mycelium_tpu.fea.solve import solve_displacement
+
+
+def random_forest_mesh(n_nodes=600, n_extra=12, seed=0):
+    """Random mycelium-like mesh: chains that branch, plus a few
+    cycle-closing edges (the anastomosis analogue)."""
+    rng = np.random.default_rng(seed)
+    coords = [np.zeros(3)]
+    conn = []
+    while len(coords) < n_nodes:
+        start = int(rng.integers(0, len(coords)))
+        phi = rng.uniform(0, 2 * np.pi)
+        pos = coords[start].copy()
+        prev = start
+        for _ in range(int(rng.integers(2, 14))):
+            if len(coords) >= n_nodes:
+                break
+            phi += rng.uniform(-0.4, 0.4)
+            pos = pos + np.array([np.cos(phi), np.sin(phi), 0.0]) * 0.05
+            coords.append(pos)
+            conn.append([prev, len(coords) - 1])
+            prev = len(coords) - 1
+    for _ in range(n_extra):
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            conn.append([a, b])
+    return np.asarray(coords), np.asarray(conn, np.int32)
+
+
+def bc_tree_matrix(model, sch, active, free, reg):
+    """Oracle matrix: forest-only stiffness with pinned rows/cols set to
+    identity and reg on the free diagonal."""
+    Kt = assemble_scipy(model, active & sch.tree_edge).tolil()
+    fd = np.repeat(free, 3)
+    Kt[~fd, :] = 0.0
+    Kt[:, ~fd] = 0.0
+    for i in np.nonzero(~fd)[0]:
+        Kt[i, i] = 1.0
+    return (Kt.tocsr() + reg * sp.diags(fd.astype(float))).tocsc()
+
+
+@pytest.mark.parametrize("seed,frac", [(0, None), (1, 0.06), (2, 0.2)])
+def test_numpy_factor_apply_matches_splu(seed, frac):
+    coords, conn = random_forest_mesh(seed=seed)
+    cfg = FeaConfig(dtype="float64", operator="ell", use_pallas=False,
+                    grip_length=0.08)
+    model = build_model(coords, conn, cfg)
+    N = model.n_nodes
+    conn_np = np.asarray(model.conn)
+    free = ~(np.asarray(model.top_nodes) | np.asarray(model.bot_nodes))
+    rng = np.random.default_rng(seed)
+    active = np.ones(model.n_elems, bool) if frac is None else \
+        rng.random(model.n_elems) > frac
+
+    sch = tr.build_tree_schedule(conn_np, N, free)
+    k3 = tr.element_k3(np.asarray(model.geom.n, np.float64),
+                       np.asarray(model.geom.k_ax, np.float64),
+                       np.asarray(model.geom.k_bd, np.float64))
+    reg_pc = max(cfg.reg, cfg.tree_reg_rel * float(
+        np.median(np.trace(k3, axis1=1, axis2=2) / 3.0)))
+    fac = tr.tree_factor_np(sch, k3, active, free, reg_pc)
+
+    r = rng.standard_normal((N, 3))
+    r[~free] = 0.0
+    z = tr.tree_apply_np(fac, r)
+    T = bc_tree_matrix(model, sch, active, free, reg_pc)
+    z_ref = spla.spsolve(T, r.reshape(-1))
+    # heavily fractured meshes have components held only by reg=1e-12, so
+    # compare by residual (the well-posed criterion), not by value
+    res = np.linalg.norm(T @ z.reshape(-1) - r.reshape(-1))
+    res_ref = np.linalg.norm(T @ z_ref - r.reshape(-1))
+    rnorm = np.linalg.norm(r)
+    assert res <= max(10 * res_ref, 1e-9 * rnorm)
+
+
+@pytest.mark.parametrize("seed,frac,anchor_frac",
+                         [(0, None, 0.0), (1, 0.08, 0.0), (3, 0.1, 0.05)])
+def test_jax_matches_numpy_oracle(seed, frac, anchor_frac):
+    coords, conn = random_forest_mesh(seed=seed)
+    cfg = FeaConfig(dtype="float64", operator="ell", use_pallas=False,
+                    grip_length=0.08, precond="tree")
+    model = build_model(coords, conn, cfg)
+    N = model.n_nodes
+    conn_np = np.asarray(model.conn)
+    free = ~(np.asarray(model.top_nodes) | np.asarray(model.bot_nodes))
+    rng = np.random.default_rng(seed + 100)
+    active = np.ones(model.n_elems, bool) if frac is None else \
+        rng.random(model.n_elems) > frac
+    free_now = free.copy()
+    if anchor_frac:
+        free_now &= rng.random(N) > anchor_frac   # extra numeric pinning
+
+    sch = tr.build_tree_schedule(conn_np, N, free)
+    k3 = tr.element_k3(np.asarray(model.geom.n, np.float64),
+                       np.asarray(model.geom.k_ax, np.float64),
+                       np.asarray(model.geom.k_bd, np.float64))
+    reg_pc = max(cfg.reg, cfg.tree_reg_rel * model.tree.meta.k_scale)
+    fac_np = tr.tree_factor_np(sch, k3, active, free_now, reg_pc)
+
+    fac = trj.tree_factor(model.tree, jnp.asarray(active),
+                          jnp.asarray(free_now), reg_pc, model.conn)
+    r = rng.standard_normal((N, 3))
+    r[~free_now] = 0.0
+    z_np = tr.tree_apply_np(fac_np, r)
+    z = np.asarray(trj.tree_apply(model.tree, fac, jnp.asarray(r)))
+    if frac is None and not anchor_frac:
+        # intact forest: both exact solvers agree to roundoff
+        np.testing.assert_allclose(z, z_np, rtol=1e-8, atol=1e-12)
+    # always: the device result solves the tree system (residual check is
+    # the well-posed criterion when fracture leaves reg-held fragments)
+    T = bc_tree_matrix(model, sch, active, free_now, reg_pc)
+    res = np.linalg.norm(T @ z.reshape(-1) - r.reshape(-1))
+    res_np = np.linalg.norm(T @ z_np.reshape(-1) - r.reshape(-1))
+    # PCR loses a few more digits than splu through reg-floored fracture
+    # fragments; 1e-5 relative residual is far below what perturbs CG
+    assert res <= max(10 * res_np, 1e-5 * np.linalg.norm(r))
+
+
+def test_tree_pc_cuts_iterations_and_matches_solution():
+    coords, conn = random_forest_mesh(n_nodes=900, n_extra=18, seed=4)
+    base = dict(dtype="float64", operator="chain", use_pallas=False,
+                grip_length=0.1, rtol=1e-8)
+    cfg_bj = FeaConfig(precond="block_jacobi", **base)
+    cfg_tr = FeaConfig(precond="tree", **base)
+    model_bj = build_model(coords, conn, cfg_bj)
+    model_tr = build_model(coords, conn, cfg_tr)
+    active = jnp.ones((model_bj.n_elems,), bool)
+    x0 = jnp.zeros((model_bj.n_nodes, 3), jnp.float64)
+    res_bj = solve_displacement(model_bj, active, 0.01, -0.01, x0, cfg_bj)
+    res_tr = solve_displacement(model_tr, active, 0.01, -0.01, x0, cfg_tr)
+    assert bool(res_bj.converged) and bool(res_tr.converged)
+    assert int(res_tr.iters) < int(res_bj.iters) / 5
+    np.testing.assert_allclose(np.asarray(res_tr.x), np.asarray(res_bj.x),
+                               rtol=1e-5, atol=1e-10)
+
+
+@pytest.mark.parametrize("scene_name", list(scenes.SCENES))
+def test_tree_pc_on_fully_gripped_scenes(scene_name):
+    """The archived test scenes are fully gripped (no free nodes) — the
+    tree PC must degenerate gracefully to the identity."""
+    sc = scenes.SCENES[scene_name]()
+    cfg = FeaConfig(dtype="float64", operator="chain", use_pallas=False,
+                    precond="tree")
+    model = build_model(sc.coords, sc.conn, cfg)
+    active = jnp.ones((model.n_elems,), bool)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
+    res = solve_displacement(model, active, 0.01, -0.01, x0, cfg)
+    assert bool(res.converged)
