@@ -209,8 +209,12 @@ def _shift(x, k):
     return jnp.roll(x, -k, axis=0)
 
 
+HI = jax.lax.Precision.HIGHEST   # TPU einsum defaults to bf16 passes;
+                                  # 3x3 block algebra needs full f32
+
+
 def _mm(a, b):
-    return jnp.einsum("nij,njk->nik", a, b)
+    return jnp.einsum("nij,njk->nik", a, b, precision=HI)
 
 
 def _pcr_coeffs(D, B, steps):
@@ -243,12 +247,14 @@ def _pcr_apply(alphas, betas, dinv, r):
     """x = T^{-1} r given PCR coefficients. r: (S, 3, ...) -> same."""
     steps = alphas.shape[0]
     s = 1
-    mv = "nij,nj...->ni..."
+
+    def mv(m, v):
+        return jnp.einsum("nij,nj...->ni...", m, v, precision=HI)
+
     for k in range(steps):
-        r = r - jnp.einsum(mv, alphas[k], _shift(r, -s)) \
-              - jnp.einsum(mv, betas[k], _shift(r, s))
+        r = r - mv(alphas[k], _shift(r, -s)) - mv(betas[k], _shift(r, s))
         s *= 2
-    return jnp.einsum(mv, dinv, r)
+    return mv(dinv, r)
 
 
 def tree_factor(plan: TreePlan, active: jnp.ndarray,
@@ -354,7 +360,12 @@ def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
     S_tot = plan.n_slots
     racc = jnp.concatenate(
         [r[plan.slots], jnp.zeros((1, 3), r.dtype)])     # + sentinel
-    mv = "nij,nj->ni"
+
+    def mv(m, v):
+        return jnp.einsum("nij,nj->ni", m, v, precision=HI)
+
+    def mtv(m, v):
+        return jnp.einsum("nji,nj->ni", m, v, precision=HI)
 
     ys = []
     for li in range(L):
@@ -367,8 +378,8 @@ def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
         fg = plan.first_gpos[p0:p1] - s0
         lg = plan.last_gpos[p0:p1] - s0
         tgt = plan.att_tgt[p0:p1]
-        racc = racc.at[tgt[:, 0]].add(-jnp.einsum(mv, ab[:, 0], y[fg]))
-        racc = racc.at[tgt[:, 1]].add(-jnp.einsum(mv, ab[:, 1], y[lg]))
+        racc = racc.at[tgt[:, 0]].add(-mv(ab[:, 0], y[fg]))
+        racc = racc.at[tgt[:, 1]].add(-mv(ab[:, 1], y[lg]))
 
     u_all = jnp.zeros((S_tot + 1, 3), r.dtype)
     for li in range(L - 1, -1, -1):
@@ -381,9 +392,8 @@ def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
         uj0 = u_all[tgt[:, 0]]
         uj1 = u_all[tgt[:, 1]]
         z = jnp.zeros((s1 - s0, 3), r.dtype)
-        mtv = "nji,nj->ni"
-        z = z.at[fg].add(jnp.einsum(mtv, ab[:, 0], uj0))
-        z = z.at[lg].add(jnp.einsum(mtv, ab[:, 1], uj1))
+        z = z.at[fg].add(mtv(ab[:, 0], uj0))
+        z = z.at[lg].add(mtv(ab[:, 1], uj1))
         u = ys[li] - _pcr_apply(factor.alphas[li], factor.betas[li],
                                 factor.dinv[s0:s1], z)
         u_all = u_all.at[s0:s1].set(u)
