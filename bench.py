@@ -63,6 +63,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: whole-solve Pallas kernels take minutes
+    # to compile through the remote-compile tunnel; cache by shape
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from mycelium_tpu.config import FeaConfig
     from mycelium_tpu.fea.model import build_model
     from mycelium_tpu.fea.ramp import anchored_mask_host

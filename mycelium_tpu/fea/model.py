@@ -47,6 +47,8 @@ class FeaModel(NamedTuple):
     tree: object = None        # Optional[tree_jax.TreePlan] — spanning-
                                # forest elimination schedule
                                # (cfg.precond='tree')
+    tree_packed: object = None  # Optional[pallas_tree.PackedTreeData] —
+                                # VMEM tables for the in-kernel tree PC
 
     @property
     def n_nodes(self) -> int:
@@ -129,8 +131,9 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
             chain_packed = pack_plan(chain_plan, coords.shape[0])
 
     tree_plan = None
+    tree_packed = None
     if cfg.precond == "tree":
-        from .tree import build_tree_schedule, element_k3, spanning_forest
+        from .tree import build_tree_schedule, element_k3
         from .tree_jax import build_tree_plan
         d = coords[conn_np[:, 1]] - coords[conn_np[:, 0]]
         length = np.linalg.norm(d, axis=1)
@@ -140,6 +143,10 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
                         12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3))
         schedule = build_tree_schedule(conn_np, coords.shape[0], free)
         tree_plan = build_tree_plan(schedule, k3, dtype)
+        if cfg.use_pallas and chain_plan is not None and schedule.levels:
+            from .pallas_tree import pack_tree_plan
+            tree_packed = pack_tree_plan(schedule, chain_plan,
+                                         coords.shape[0], k3)
 
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)
@@ -157,6 +164,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         chain=chain_plan,
         chain_packed=chain_packed,
         tree=tree_plan,
+        tree_packed=tree_packed,
     )
 
 

@@ -198,19 +198,29 @@ def _scan_ramp(model: FeaModel, cfg: FeaConfig):
         u, stress, active_new, total_force, iters, _ = ramp_step(
             model, cfg, active, x0, dy_top, -dy_top, anchored)
         # refresh grip reachability only when fracture changed the topology
+        if model.tree is not None:
+            # tree-accelerated sweep: whole hyphae per fixpoint round
+            # instead of one hop (~7x fewer sweeps than the plain BFS)
+            from .tree_jax import tree_anchored
+            recompute = lambda: tree_anchored(model.tree, model, active_new)  # noqa: E731
+        else:
+            recompute = lambda: anchored_mask_device(model, active_new)  # noqa: E731
         anchored = jax.lax.cond(
-            jnp.any(active_new != active),
-            lambda: anchored_mask_device(model, active_new),
-            lambda: anchored)
+            jnp.any(active_new != active), recompute, lambda: anchored)
         carry = (active_new, u, factor, anchored)
         return carry, (stress, active_new, u.reshape(-1),
                        jnp.stack([2 * dy_top, total_force]), iters)
 
-    init = (jnp.ones((model.n_elems,), dtype=bool),
+    all_active = jnp.ones((model.n_elems,), dtype=bool)
+    if model.tree is not None:
+        from .tree_jax import tree_anchored
+        anch0 = tree_anchored(model.tree, model, all_active)
+    else:
+        anch0 = anchored_mask_device(model, all_active)
+    init = (all_active,
             jnp.zeros((model.n_nodes, 3), dtype=dtype),
             jnp.zeros((), dtype),
-            anchored_mask_device(model, jnp.ones((model.n_elems,),
-                                                 dtype=bool)))
+            anch0)
     _, out = jax.lax.scan(body, init, factors)
     return out
 

@@ -179,6 +179,15 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
     u_k = prescribed_values(model, dy_top, dy_bot)
 
     if cfg.operator == "chain" and model.chain is not None \
+            and cfg.use_pallas and cfg.precond == "tree" \
+            and getattr(model, "tree_packed", None) is not None \
+            and getattr(model, "chain_packed", None) is not None:
+        from .pallas_tree import pallas_tree_solve
+        return pallas_tree_solve(model, model.chain_packed,
+                                 model.tree_packed, active, dy_top, dy_bot,
+                                 x0, cfg, anchored)
+
+    if cfg.operator == "chain" and model.chain is not None \
             and cfg.use_pallas and cfg.precond != "tree" \
             and getattr(model, "chain_packed", None) is not None:
         from .pallas_cg import pallas_chain_solve

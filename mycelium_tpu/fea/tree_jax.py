@@ -399,3 +399,98 @@ def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
         u_all = u_all.at[s0:s1].set(u)
 
     return r.at[plan.slots].set(u_all[:S_tot])
+
+
+# ---------------------------------------------------------------------------
+# grip reachability accelerated by the tree hierarchy
+# ---------------------------------------------------------------------------
+
+def tree_anchored(plan: TreePlan, model, active: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Nodes reachable from a grip through active elements.
+
+    The plain BFS (ramp.anchored_mask_device) needs O(graph diameter)
+    sweeps (~300 on the archived mesh, ~35 ms/call on the axon TPU). Here
+    each fixpoint iteration hops an arbitrary distance ALONG TREE PATHS in
+    log2(max path length) doubling rounds — reachability crosses a whole
+    hypha per iteration — plus one plain neighbor sweep that covers cycle
+    edges and grip seeding. Convergence: a handful of iterations (bounded
+    by the number of cycle-edge crossings a shortest anchoring path needs).
+    """
+    meta = plan.meta
+    L = len(meta.level_steps)
+    grip = jnp.logical_or(model.top_nodes, model.bot_nodes)
+    n = grip.shape[0]
+    conn = model.conn
+
+    act_pad = jnp.concatenate([active, jnp.zeros((1,), bool)])
+    link_ok = act_pad[model.incident]                     # (N, deg)
+    # slot-space static pieces
+    left_act = act_pad[plan.left_elem]                    # (S,) bool; fill
+    # edges: a fill edge is traversable iff its underlying path span and
+    # both attachments are — conservatively treat fills as INACTIVE here
+    # (the plain neighbor sweep still propagates through those junctions'
+    # real edges, so correctness is unaffected; only the hop length of a
+    # single iteration shrinks)
+    att_act = act_pad[plan.att_elem]                      # (P,2) bool
+    tgt = plan.att_tgt                                    # (P,2)
+    S_tot = plan.n_slots
+
+    def body(c):
+        anch, _ = c
+        # 1. plain neighbor sweep (covers grip seeding + cycle edges)
+        anch_pad = jnp.concatenate([anch, jnp.zeros((1,), bool)])
+        nb = jnp.logical_and(anch_pad[model.neighbor], link_ok)
+        anch1 = jnp.logical_or(anch, jnp.any(nb, axis=1))
+        anch1 = jnp.logical_or(anch1, grip)
+        # 2. tree sweep in slot space: within-path doubling + attachments
+        sv = jnp.concatenate([anch1[plan.slots],
+                              jnp.zeros((1,), bool)])     # (S+1,)
+        for li in range(L):
+            s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+            p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
+            seg = sv[s0:s1]
+            la = left_act[s0:s1]
+            sv = sv.at[s0:s1].set(_span_or(seg, la,
+                                           meta.level_steps[li]))
+            # attachments: junction <-> path ends (both directions)
+            fg = plan.first_gpos[p0:p1]
+            lg = plan.last_gpos[p0:p1]
+            aa = att_act[p0:p1]
+            for side, ends in ((0, fg), (1, lg)):
+                j_anch = jnp.logical_and(sv[tgt[p0:p1, side]], aa[:, side])
+                sv = sv.at[ends].max(j_anch)
+                e_anch = jnp.logical_and(sv[ends], aa[:, side])
+                sv = sv.at[tgt[p0:p1, side]].max(e_anch)
+            sv = sv.at[s0:s1].set(_span_or(sv[s0:s1], la,
+                                           meta.level_steps[li]))
+        anch2 = anch1.at[plan.slots].max(sv[:S_tot])
+        return anch2, jnp.any(anch2 != anch)
+
+    def cond(c):
+        return c[1]
+
+    anch, _ = jax.lax.while_loop(cond, body,
+                                 (grip, jnp.asarray(True)))
+    return anch
+
+
+def _span_or(seg: jnp.ndarray, left_act: jnp.ndarray, steps: int
+             ) -> jnp.ndarray:
+    """OR-propagate boolean seg values along contiguous active spans of a
+    concatenated-path array, in `steps` doubling rounds. left_act[i] marks
+    the edge (i-1, i) active; propagation never crosses inactive edges or
+    path boundaries (left_act is False there)."""
+    # conn[i] at round with distance s: edges (i..i+s) all active,
+    # i.e. left_act[i+1..i+s] all True
+    conn = jnp.roll(left_act, -1)      # conn_1[i] = left_act[i+1]
+    s = 1
+    for _ in range(steps):
+        seg = jnp.logical_or(seg,
+                             jnp.logical_and(jnp.roll(seg, -s), conn))
+        seg = jnp.logical_or(seg,
+                             jnp.logical_and(jnp.roll(seg, s),
+                                             jnp.roll(conn, s)))
+        conn = jnp.logical_and(conn, jnp.roll(conn, -s))
+        s *= 2
+    return seg
