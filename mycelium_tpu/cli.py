@@ -86,7 +86,8 @@ def cmd_grow(args) -> str:
             plot_mycelium(starts, ends, inten, t,
                           os.path.join(snapshot_dir,
                                        f"petri_step_{t:04d}.png"),
-                          dish_size=cfg.dish_size)
+                          dish_size=cfg.dish_size,
+                          three_d=cfg.three_d, height=cfg.height)
 
     print(f"growing: {cfg.t_steps} steps -> {out_dir}")
     st, _, history = run_growth(cfg, on_step=snapshot_cb,

@@ -66,7 +66,15 @@ def greedy_path_cover(conn: np.ndarray, n_nodes: int) -> np.ndarray:
     Walks unvisited nodes depth-first but only ever continuing along ONE
     unvisited neighbor (a path, not a tree), starting new paths at
     low-degree nodes first (chain tips). Returns perm: position -> node.
+
+    Dispatches to the native C++ runtime (native/meshio.cpp
+    meshio_path_cover, identical semantics — tested against this oracle)
+    when available; the pure-Python walk below is the fallback.
     """
+    from ..native import meshio_native
+    native = meshio_native.path_cover(conn, n_nodes)
+    if native is not None:
+        return native
     n_elems = conn.shape[0]
     # CSR adjacency
     deg = np.zeros(n_nodes, dtype=np.int64)

@@ -62,7 +62,12 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
     pinned (free=False) with zero prescribed values, so they never
     contribute.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _shard_map
+        _replication_kw = {"check_vma": False}
+    except ImportError:  # pre-0.8 JAX
+        from jax.experimental.shard_map import shard_map as _shard_map
+        _replication_kw = {"check_rep": False}
 
     n_dev = int(mesh.devices.size)
     N = model.n_nodes
@@ -143,11 +148,11 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
         x, _, _, _, _, rnorm, k = jax.lax.while_loop(cond, it, state0)
         return x, k, rnorm, rnorm <= tol
 
-    body_sharded = shard_map(
+    body_sharded = _shard_map(
         body, mesh=mesh,
         in_specs=(spec1,) * 9,
         out_specs=(spec1, rep, rep, rep),
-        check_rep=False,
+        **_replication_kw,
     )
 
     # the model pytree and padded tables are jit ARGUMENTS (large closure

@@ -45,7 +45,14 @@ import numpy as np
 def spanning_forest(conn: np.ndarray, n_nodes: int) -> np.ndarray:
     """Stable union-find spanning forest. Returns (E,) bool: edge is in the
     forest. Non-forest edges are exactly the cycle-closing (anastomosis)
-    edges; the preconditioner ignores them."""
+    edges; the preconditioner ignores them.
+
+    Dispatches to the native C++ runtime (native/meshio.cpp
+    meshio_spanning_forest, same edge-order union-find) when available."""
+    from ..native import meshio_native
+    native = meshio_native.spanning_forest(conn, n_nodes)
+    if native is not None:
+        return native
     parent = np.arange(n_nodes, dtype=np.int64)
 
     def find(x):

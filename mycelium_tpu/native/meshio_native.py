@@ -64,6 +64,16 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.meshio_path_cover.restype = ctypes.c_int
+        lib.meshio_path_cover.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.meshio_spanning_forest.restype = ctypes.c_int
+        lib.meshio_spanning_forest.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -110,3 +120,38 @@ def dedup_nodes(pts: np.ndarray, decimals: int = 6):
     if m < 0:
         return None
     return nodes_out[:m].copy(), inv_out
+
+
+def path_cover(conn: np.ndarray, n_nodes: int):
+    """Greedy path cover node ordering (semantics of
+    fea.chain.greedy_path_cover). Returns perm (n_nodes,) int64 or None if
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    conn = np.ascontiguousarray(conn, dtype=np.int64)
+    perm = np.empty((n_nodes,), dtype=np.int64)
+    rc = lib.meshio_path_cover(
+        conn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        conn.shape[0], n_nodes,
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    return perm
+
+
+def spanning_forest(conn: np.ndarray, n_nodes: int):
+    """Union-find spanning forest in edge order (semantics of
+    fea.tree.spanning_forest). Returns (E,) bool or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    conn = np.ascontiguousarray(conn, dtype=np.int64)
+    tree = np.empty((conn.shape[0],), dtype=np.uint8)
+    rc = lib.meshio_spanning_forest(
+        conn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        conn.shape[0], n_nodes,
+        tree.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return tree.astype(bool)

@@ -32,27 +32,58 @@ def _mpl():
 
 def plot_mycelium(starts, ends, intensity, step: int, out_path: str,
                   inoculum: Optional[np.ndarray] = None,
-                  dish_size: float = 5.0, title: Optional[str] = None):
-    """Growth frame: segments colored by I*L / max(I*L) on viridis."""
+                  dish_size: float = 5.0, title: Optional[str] = None,
+                  three_d: bool = False, height: float = 0.1):
+    """Growth frame: segments colored by I*L / max(I*L) on viridis.
+
+    With ``three_d``, renders on a 3D axes in the reference 3D variant's
+    style (top-down view, z-axis hidden, flat box aspect — reference
+    src/mycelium_sim.py:507-559); otherwise a flat 2D LineCollection
+    (src/mycelium_sim_2D.py:547-607).
+    """
     plt, LineCollection, Normalize = _mpl()
-    fig, ax = plt.subplots(figsize=(7, 7))
-    if len(starts):
-        max_val = float(np.max(intensity))
-        if max_val < 1e-12:
-            max_val = 1.0
-        segs = np.stack([starts[:, :2], ends[:, :2]], axis=1)
-        lc = LineCollection(segs, cmap="viridis",
-                            array=np.asarray(intensity) / max_val,
-                            norm=Normalize(vmin=0, vmax=1), linewidths=1.2)
-        ax.add_collection(lc)
-    if inoculum is not None:
-        ax.scatter(inoculum[:, 0], inoculum[:, 1], color="red", s=30)
+    max_val = float(np.max(intensity)) if len(starts) else 1.0
+    if max_val < 1e-12:
+        max_val = 1.0
+    if three_d:
+        from mpl_toolkits.mplot3d.art3d import Line3DCollection
+        fig = plt.figure(figsize=(7, 7))
+        ax = fig.add_subplot(111, projection="3d")
+        if len(starts):
+            segs = np.stack([starts[:, :3], ends[:, :3]], axis=1)
+            lc = Line3DCollection(segs, cmap="viridis",
+                                  array=np.asarray(intensity) / max_val,
+                                  norm=Normalize(vmin=0, vmax=1),
+                                  linewidths=1.3)
+            ax.add_collection3d(lc)
+        if inoculum is not None:
+            ax.scatter(inoculum[:, 0], inoculum[:, 1], inoculum[:, 2],
+                       color="red", s=30, label="inoculum")
+            ax.legend()
+        ax.set_zticks([])
+        ax.view_init(elev=90, azim=-90)       # top-down XY view
+        ax.set_box_aspect([1, 1, 0.1])
+        ax.grid(False)
+        ax.set_xlim(-dish_size / 2, dish_size / 2)
+        ax.set_ylim(-dish_size / 2, dish_size / 2)
+        ax.set_zlim(0.0, max(height, 1e-3))
+    else:
+        fig, ax = plt.subplots(figsize=(7, 7))
+        if len(starts):
+            segs = np.stack([starts[:, :2], ends[:, :2]], axis=1)
+            lc = LineCollection(segs, cmap="viridis",
+                                array=np.asarray(intensity) / max_val,
+                                norm=Normalize(vmin=0, vmax=1),
+                                linewidths=1.2)
+            ax.add_collection(lc)
+        if inoculum is not None:
+            ax.scatter(inoculum[:, 0], inoculum[:, 1], color="red", s=30)
+        ax.set_aspect("equal")
+        ax.set_xlim(-dish_size / 2, dish_size / 2)
+        ax.set_ylim(-dish_size / 2, dish_size / 2)
     ax.set_title(title or f"Step {step}")
-    ax.set_aspect("equal")
     ax.set_xlabel("X [mm]")
     ax.set_ylabel("Y [mm]")
-    ax.set_xlim(-dish_size / 2, dish_size / 2)
-    ax.set_ylim(-dish_size / 2, dish_size / 2)
     fig.tight_layout()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path, dpi=150)

@@ -145,4 +145,108 @@ int64_t meshio_dedup_nodes(const double* pts, int64_t n, int decimals,
   return next_id;
 }
 
+// ---------------------------------------------------------------------------
+// Greedy path cover over the element graph — the host-side ordering pass
+// behind the chain-ordered TPU operator (mycelium_tpu/fea/chain.py).
+// Semantics match chain.greedy_path_cover exactly: adjacency lists hold,
+// for node v, first the opposite endpoints of elements where v is endpoint
+// 0 (in element order), then those where v is endpoint 1; walk starts are
+// taken in increasing-degree order (stable); each walk continues along the
+// first unvisited neighbor. ~50x the pure-numpy/python implementation at
+// 1e6 edges.
+//
+// conn: (n_elems, 2) int64 row-major. perm_out: capacity n_nodes.
+// Returns 0 on success.
+// ---------------------------------------------------------------------------
+int meshio_path_cover(const int64_t* conn, int64_t n_elems, int64_t n_nodes,
+                      int64_t* perm_out) {
+  if (n_elems < 0 || n_nodes <= 0) return 1;
+  std::vector<int64_t> deg(static_cast<size_t>(n_nodes), 0);
+  for (int64_t e = 0; e < n_elems; ++e) {
+    int64_t a = conn[2 * e], b = conn[2 * e + 1];
+    if (a < 0 || a >= n_nodes || b < 0 || b >= n_nodes) return 2;
+    ++deg[a];
+    ++deg[b];
+  }
+  std::vector<int64_t> indptr(static_cast<size_t>(n_nodes) + 1, 0);
+  for (int64_t v = 0; v < n_nodes; ++v) indptr[v + 1] = indptr[v] + deg[v];
+  std::vector<int64_t> adj(static_cast<size_t>(2 * n_elems));
+  {
+    std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
+    for (int64_t e = 0; e < n_elems; ++e)  // endpoint-0 entries first
+      adj[cursor[conn[2 * e]]++] = conn[2 * e + 1];
+    for (int64_t e = 0; e < n_elems; ++e)
+      adj[cursor[conn[2 * e + 1]]++] = conn[2 * e];
+  }
+  // stable counting sort of nodes by degree (path endpoints first)
+  std::vector<int64_t> starts(static_cast<size_t>(n_nodes));
+  {
+    int64_t max_deg = 0;
+    for (int64_t v = 0; v < n_nodes; ++v)
+      if (deg[v] > max_deg) max_deg = deg[v];
+    std::vector<int64_t> count(static_cast<size_t>(max_deg) + 2, 0);
+    for (int64_t v = 0; v < n_nodes; ++v) ++count[deg[v] + 1];
+    for (int64_t d = 0; d <= max_deg; ++d) count[d + 1] += count[d];
+    for (int64_t v = 0; v < n_nodes; ++v) starts[count[deg[v]]++] = v;
+  }
+  std::vector<uint8_t> visited(static_cast<size_t>(n_nodes), 0);
+  // per-node cursor over its adjacency list: neighbors before it are
+  // already visited, so each list is scanned once across the whole run
+  std::vector<int64_t> scan(indptr.begin(), indptr.end() - 1);
+  int64_t out = 0;
+  for (int64_t si = 0; si < n_nodes; ++si) {
+    int64_t cur = starts[si];
+    if (visited[cur]) continue;
+    for (;;) {
+      visited[cur] = 1;
+      perm_out[out++] = cur;
+      int64_t nxt = -1;
+      int64_t& k = scan[cur];
+      while (k < indptr[cur + 1]) {
+        int64_t nb = adj[k];
+        if (!visited[nb]) { nxt = nb; break; }
+        ++k;
+      }
+      if (nxt < 0) break;
+      cur = nxt;
+    }
+  }
+  return out == n_nodes ? 0 : 3;
+}
+
+// ---------------------------------------------------------------------------
+// Union-find spanning forest in edge order (mycelium_tpu/fea/tree.py
+// spanning_forest): tree_out[e] = 1 iff edge e joins two components.
+// Self-loops and out-of-range endpoints are left 0 / rejected as in the
+// Python oracle. Returns 0 on success.
+// ---------------------------------------------------------------------------
+int meshio_spanning_forest(const int64_t* conn, int64_t n_elems,
+                           int64_t n_nodes, uint8_t* tree_out) {
+  if (n_elems < 0 || n_nodes <= 0) return 1;
+  std::vector<int64_t> parent(static_cast<size_t>(n_nodes));
+  for (int64_t v = 0; v < n_nodes; ++v) parent[v] = v;
+  auto find = [&parent](int64_t x) {
+    int64_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int64_t nxt = parent[x];
+      parent[x] = root;
+      x = nxt;
+    }
+    return root;
+  };
+  for (int64_t e = 0; e < n_elems; ++e) {
+    int64_t a = conn[2 * e], b = conn[2 * e + 1];
+    if (a < 0 || a >= n_nodes || b < 0 || b >= n_nodes) return 2;
+    int64_t ra = find(a), rb = find(b);
+    if (ra != rb) {
+      parent[rb] = ra;
+      tree_out[e] = 1;
+    } else {
+      tree_out[e] = 0;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -122,3 +122,47 @@ def test_reader_roundtrip_reference_mesh(ref_results):
     coords, conn = read_mesh_dir(os.path.join(ref_results, "test_I"))
     np.testing.assert_allclose(coords[:, 1], [0, 1, 2, 3])
     np.testing.assert_array_equal(conn, [[0, 1], [1, 2], [2, 3]])
+
+
+def _mesh_for_graph_tests(n=400, seed=3):
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import synthetic_mesh
+    return synthetic_mesh(n, seed)
+
+
+def test_native_path_cover_matches_python_oracle():
+    if not meshio_native.available():
+        pytest.skip("native meshio not built")
+    from mycelium_tpu.fea.chain import greedy_path_cover
+    coords, conn = _mesh_for_graph_tests()
+    nn = coords.shape[0]
+    p_native = meshio_native.path_cover(conn, nn)
+    orig = meshio_native.path_cover
+    try:
+        meshio_native.path_cover = lambda *a: None
+        p_py = greedy_path_cover(conn, nn)
+    finally:
+        meshio_native.path_cover = orig
+    np.testing.assert_array_equal(p_native, p_py)
+    # perm is a permutation
+    assert np.array_equal(np.sort(p_native), np.arange(nn))
+
+
+def test_native_spanning_forest_matches_python_oracle():
+    if not meshio_native.available():
+        pytest.skip("native meshio not built")
+    from mycelium_tpu.fea.tree import spanning_forest
+    coords, conn = _mesh_for_graph_tests(seed=11)
+    nn = coords.shape[0]
+    f_native = meshio_native.spanning_forest(conn, nn)
+    orig = meshio_native.spanning_forest
+    try:
+        meshio_native.spanning_forest = lambda *a: None
+        f_py = spanning_forest(conn, nn)
+    finally:
+        meshio_native.spanning_forest = orig
+    np.testing.assert_array_equal(f_native, f_py)
+    # a forest over one connected component has n-1 edges
+    assert f_native.sum() <= nn - 1
