@@ -82,9 +82,12 @@ def main():
         coords, conn = synthetic_mesh(7375)
 
     # spanning-forest preconditioner: exact tree elimination cuts CG from
-    # 872 iterations to ~14 on this mesh (see fea/tree.py)
+    # 872 iterations to ~14 on this mesh (see fea/tree.py); use_pallas runs
+    # the whole preconditioned solve as ONE Mosaic kernel (fea/pallas_tree.py)
+    # — 8.0 ms vs 10.2 ms for the XLA-op version on v5e (cold compile is
+    # ~3 min but lands in the persistent .jax_cache)
     cfg = FeaConfig(dtype="float32", rtol=1e-6, warm_start=False,
-                    operator="chain", use_pallas=False, precond="tree")
+                    operator="chain", use_pallas=True, precond="tree")
     model = build_model(coords, conn, cfg)
     grip = np.asarray(model.top_nodes) | np.asarray(model.bot_nodes)
     anchored = jnp.asarray(anchored_mask_host(
