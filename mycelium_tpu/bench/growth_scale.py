@@ -1,0 +1,82 @@
+"""Growth-throughput benchmark: steps/sec at growing network sizes.
+
+BASELINE.json's north star asks for growth steps/sec alongside PCG
+solves/sec. The reference's growth engines are single-threaded
+object-graph walkers: the archived cProfile run (BASELINE.md) spends
+0.75 s/step at ~2k segments (3D, 25 steps = 18.76 s); the 150-step 2D
+demo reaches 7.5k segments. Here the whole run is one XLA program
+(`run_growth_scan`); scaling beyond the demo uses a wider dish with a
+denser inoculum grid so the network genuinely fills the domain.
+
+Run:  python -m mycelium_tpu.bench.growth_scale [preset ...]
+Presets: demo (reference-sized), medium (~30k segments), large (~1e5).
+Prints one JSON line per preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+from ..config import GrowthConfig
+
+PRESETS = {
+    # the reference demo: 25 sites, 150 steps -> ~7k segments
+    "demo": GrowthConfig(),
+    # 121 sites on a 10 mm dish -> ~3e4 segments at step 150
+    "medium": GrowthConfig(
+        dish_size=10.0, substrate_width=10.0,
+        inoculum_nx=11, inoculum_ny=11,
+        omega0=5e-6 * (121 / 25),        # same substrate budget per site
+        max_segments=1 << 16, max_hyphae=1 << 15,
+    ),
+    # 441 sites on a 20 mm dish -> ~1e5 segments at step 150
+    "large": GrowthConfig(
+        dish_size=20.0, substrate_width=20.0,
+        inoculum_nx=21, inoculum_ny=21,
+        omega0=5e-6 * (441 / 25),
+        max_segments=1 << 18, max_hyphae=1 << 17,
+    ),
+}
+
+
+def run(names, t_steps: int | None = None):
+    import jax
+
+    from ..growth.step import run_growth_scan
+
+    results = []
+    for name in names:
+        cfg = PRESETS[name]
+        if t_steps is not None:
+            cfg = dataclasses.replace(cfg, t_steps=t_steps)
+        # compile warm-up on a 2-step run of the same shapes
+        warm = dataclasses.replace(cfg, t_steps=2)
+        run_growth_scan(warm)
+        t0 = time.perf_counter()
+        st, _, history = run_growth_scan(cfg)
+        # run_growth_scan value-fetches the stats, so the clock is closed
+        wall = time.perf_counter() - t0
+        final = history[-1]
+        row = {
+            "metric": f"growth_steps_per_sec_{name}",
+            "value": round(cfg.t_steps / wall, 2),
+            "unit": "steps/s",
+            "segments": int(final["segments"]),
+            "hyphae": int(final["hyphae"]),
+            "total_length_mm": round(final["total_length_mm"], 1),
+            "wall_s": round(wall, 3),
+            "overflow": bool(np.asarray(jax.device_get(st.overflow))),
+        }
+        print(json.dumps(row))
+        results.append(row)
+    return results
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run(args or ["demo", "medium"])

@@ -116,7 +116,6 @@ def cmd_fea(args) -> str:
     results_dir = args.results_dir
     t0 = time.time()
     coords, conn = read_mesh_dir(results_dir)
-    cfg = FeaConfig()
     overrides = {}
     if args.fea_steps is not None:
         overrides["n_steps"] = args.fea_steps
@@ -126,7 +125,11 @@ def cmd_fea(args) -> str:
         overrides["displacement_max"] = args.disp_max
     if args.f64:
         overrides["dtype"] = "float64"
-    cfg = dataclasses.replace(cfg, **overrides)
+    if getattr(args, "preset", "fast") == "fast":
+        from .config import tuned_fea_config
+        cfg = tuned_fea_config(**overrides)
+    else:
+        cfg = FeaConfig(**overrides)
 
     print(f"FEA on {results_dir}: {coords.shape[0]} nodes, "
           f"{conn.shape[0]} elements")
@@ -245,6 +248,12 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--disp-max", type=float, default=None)
         g.add_argument("--f64", action="store_true")
         g.add_argument("--no-plots", action="store_true")
+        g.add_argument("--preset", choices=["fast", "reference"],
+                       default="fast",
+                       help="solver preset: 'fast' = chain operator + tree "
+                            "preconditioner (+ Pallas kernel on TPU); "
+                            "'reference' = FeaConfig defaults (ELL + "
+                            "block-Jacobi, the PETSc-shaped path)")
         if positional:
             g.add_argument("--verbose", action="store_true")
 

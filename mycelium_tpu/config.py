@@ -134,6 +134,22 @@ class FeaConfig:
         return self.e_mod * self.max_strain
 
 
+def tuned_fea_config(**overrides) -> FeaConfig:
+    """Performance solver preset: chain-ordered operator + spanning-forest
+    (tree) preconditioner, and the whole-solve Pallas kernel when running
+    on an accelerator in f32. Numerics are unchanged — CG converges to the
+    same displacement field (same rtol), it just takes ~60x fewer
+    iterations on mycelium meshes (see fea/tree.py).
+    """
+    base = dict(operator="chain", precond="tree")
+    if overrides.get("dtype", "float32") == "float32":
+        import jax
+        if jax.default_backend() != "cpu":
+            base["use_pallas"] = True
+    base.update(overrides)
+    return FeaConfig(**base)
+
+
 def archive_parity_config(**overrides) -> FeaConfig:
     """Config matching the archived results/test_* runs.
 
