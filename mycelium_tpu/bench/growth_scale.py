@@ -48,6 +48,8 @@ def run(names, t_steps: int | None = None):
     import jax
 
     from ..growth.step import run_growth_scan
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
 
     results = []
     for name in names:

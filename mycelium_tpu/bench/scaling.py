@@ -22,6 +22,9 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
     import jax
     import jax.numpy as jnp
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..config import FeaConfig
     from ..fea.model import build_model
     from ..fea.ramp import anchored_mask_host

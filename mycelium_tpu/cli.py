@@ -289,6 +289,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .utils import enable_compilation_cache
+    enable_compilation_cache()
     args.fn(args)
 
 
