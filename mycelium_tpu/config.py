@@ -110,6 +110,11 @@ class FeaConfig:
     use_pallas: bool = False           # run the whole PCG in one Pallas
                                        # kernel (requires operator='chain',
                                        # f32; TPU only)
+    pallas_vmem_limit_mb: float = 96.0  # VMEM budget for the whole-solve
+                                       # kernels' static tables; meshes
+                                       # whose tables exceed it silently
+                                       # fall back to the XLA (non-Pallas)
+                                       # solver path of the same numerics
     coarse_basis: str = "const"        # two-level PC coarse space per
                                        # 128-node cluster: 'const' |
                                        # 'linear' (adds an in-chain ramp)

@@ -127,8 +127,10 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         chain_plan = build_chain_plan(coords, conn_np, n_host, k_ax_host,
                                       k_bd_host, dtype)
         if cfg.use_pallas:
-            from .pallas_cg import pack_plan
-            chain_packed = pack_plan(chain_plan, coords.shape[0])
+            from .pallas_cg import chain_table_bytes, pack_plan
+            budget = cfg.pallas_vmem_limit_mb * 2 ** 20
+            if chain_table_bytes(chain_plan, coords.shape[0]) < budget:
+                chain_packed = pack_plan(chain_plan, coords.shape[0])
 
     tree_plan = None
     tree_packed = None
@@ -143,10 +145,15 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
                         12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3))
         schedule = build_tree_schedule(conn_np, coords.shape[0], free)
         tree_plan = build_tree_plan(schedule, k3, dtype)
-        if cfg.use_pallas and chain_plan is not None and schedule.levels:
-            from .pallas_tree import pack_tree_plan
-            tree_packed = pack_tree_plan(schedule, chain_plan,
-                                         coords.shape[0], k3)
+        if cfg.use_pallas and chain_packed is not None and schedule.levels:
+            from .pallas_cg import chain_table_bytes
+            from .pallas_tree import pack_tree_plan, tree_kernel_vmem_bytes
+            budget = cfg.pallas_vmem_limit_mb * 2 ** 20
+            need = (tree_kernel_vmem_bytes(schedule, coords.shape[0])
+                    + chain_table_bytes(chain_plan, coords.shape[0]))
+            if need < budget:
+                tree_packed = pack_tree_plan(schedule, chain_plan,
+                                             coords.shape[0], k3)
 
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)

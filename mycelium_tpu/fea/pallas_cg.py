@@ -95,6 +95,17 @@ def _tile3(p):
     return jnp.concatenate([p, p, p], axis=0)
 
 
+def chain_table_bytes(plan: "ChainPlan", n_nodes: int) -> int:
+    """Byte count of the PackedChainData VMEM tables (ab_blk grows as
+    n_jumps x n_nodes/128 — quadratic-ish on jump-heavy meshes)."""
+    nb = plan_nb(n_nodes)
+    jp = plan.a_blk.shape[0]
+    jpad = max((jp + JUMP_CHUNK - 1) // JUMP_CHUNK, 1) * JUMP_CHUNK
+    return 4 * (2 * jpad * (nb + BLOCK)    # ab_blk + ab_lane
+                + jpad * BLOCK             # jscal
+                + 4 * 3 * nb * BLOCK)      # cn/ckax/ckbd + working planes
+
+
 def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
     nb = plan_nb(n_nodes)
     f32 = jnp.float32

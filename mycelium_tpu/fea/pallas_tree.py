@@ -109,6 +109,47 @@ class PackedTreeData(NamedTuple):
         return self.lvm.shape[0] // self.fm.shape[0]
 
 
+def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
+    """Exact byte count of the PackedTreeData tables plus kernel scratch.
+
+    The slot<->chain one-hot tables (sc_blk, ids_blk) are O(n_slots *
+    n_nodes/128) floats — quadratic-ish in mesh size — so the in-kernel
+    tree PC stops fitting VMEM somewhere past ~3e4 nodes. build_model uses
+    this estimate (computed from the host schedule, BEFORE allocating the
+    tables) to fall back to the XLA tree path on oversized meshes.
+    """
+    from .pallas_cg import plan_nb
+    levels = schedule.levels
+    L = len(levels)
+    S_tot = sum(len(lv.slots) for lv in levels)
+    P_tot = sum(len(lv.first_pos) for lv in levels)
+    NBt = ((S_tot // BLOCK + 1 + 7) // 8) * 8
+    NPb = ((max(P_tot // BLOCK + 1, 1) + 7) // 8) * 8
+    Sp, Pp = NBt * BLOCK, NPb * BLOCK
+    nbc = plan_nb(n_nodes)
+    r_star = 0
+    for lv in levels:
+        lens = lv.last_pos - lv.first_pos + 1
+        maxlen = int(lens.max()) if len(lens) else 1
+        r_star = max(r_star, int(np.ceil(np.log2(max(maxlen, 1)))))
+    floats = (
+        9 * Sp                      # k3l
+        + L * Sp + 2 * Sp           # lvm, fm, lm
+        + 2 * 9 * Pp + L * Pp + Pp  # k3a0/1, pvm, hf
+        + 2 * 2 * Pp * (NBt + BLOCK)   # fl_*, at_*
+        + 2 * Pp * (NBt + BLOCK)       # fs_* (n/f)
+        + 4 * Pp * (NPb + BLOCK)       # af_* (4 side x flip combos)
+        + Sp * (nbc + BLOCK)           # sc_*
+        + Sp * (NBt + BLOCK)           # ids_*
+        + Pp * (NPb + BLOCK)           # idp_*
+        + 2 * Pp * (2 * NPb + BLOCK)   # id2p_*
+        + 3 * nbc * BLOCK              # slotcov
+        # scratch: ascr + bscr + dinv + ab0 + ab1
+        + 2 * max(r_star, 1) * 9 * Sp + 9 * Sp + 2 * 9 * Pp
+    )
+    return 4 * floats
+
+
 def _pad_to(x, n, fill=0):
     pad = n - x.shape[0]
     return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
