@@ -185,14 +185,17 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
         jkbd[:J] = k_bd[jump_ids]
         jelem[:J] = jump_ids
 
-    as_j = lambda x, dt=dtype: jnp.asarray(x, dt)   # noqa: E731
+    # dtype conversion stays in numpy: jnp.asarray with a dtype change
+    # compiles a convert_element_type per shape (slow on remote backends);
+    # a same-dtype asarray is a pure device transfer
+    as_j = lambda x, dt=dtype: jnp.asarray(np.asarray(x, dt))   # noqa: E731
     return ChainPlan(
-        perm=jnp.asarray(perm, jnp.int32),
-        inv_perm=jnp.asarray(inv, jnp.int32),
-        chain_elem=jnp.asarray(slot_owner, jnp.int32),
+        perm=as_j(perm, np.int32),
+        inv_perm=as_j(inv, np.int32),
+        chain_elem=as_j(slot_owner, np.int32),
         chain_n=as_j(chain_n), chain_kax=as_j(chain_kax),
         chain_kbd=as_j(chain_kbd),
-        jump_elem=jnp.asarray(jelem, jnp.int32),
+        jump_elem=as_j(jelem, np.int32),
         jump_n=as_j(jn), jump_kax=as_j(jkax), jump_kbd=as_j(jkbd),
         a_blk=as_j(a_blk), a_lane=as_j(a_lane),
         b_blk=as_j(b_blk), b_lane=as_j(b_lane),

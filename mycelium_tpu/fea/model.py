@@ -23,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import FeaConfig
-from .elements import ElementGeometry, element_geometry
+from .elements import ElementGeometry
 
 
 class FeaModel(NamedTuple):
@@ -113,17 +113,20 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
 
     incident, sign, neighbor = _build_incidence(conn_np, coords.shape[0])
 
+    # factored element data, once in f64 host numpy (eager jnp here would
+    # trigger one small XLA compile per op — seconds through the
+    # remote-compile tunnel; the arrays only cross to device at the end)
+    d = coords[conn_np[:, 1]] - coords[conn_np[:, 0]]
+    length = np.linalg.norm(d, axis=1)
+    l_safe = np.maximum(length, 1e-12)
+    n_host = d / l_safe[:, None]
+    k_ax_host = (cfg.e_mod * cfg.area) / l_safe
+    k_bd_host = 12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3)
+
     chain_plan = None
     chain_packed = None
     if cfg.operator == "chain":
         from .chain import build_chain_plan
-        # factored element data in f64 on host for exact table build
-        d = coords[conn_np[:, 1]] - coords[conn_np[:, 0]]
-        length = np.linalg.norm(d, axis=1)
-        l_safe = np.maximum(length, 1e-12)
-        n_host = d / l_safe[:, None]
-        k_ax_host = (cfg.e_mod * cfg.area) / l_safe
-        k_bd_host = 12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3)
         chain_plan = build_chain_plan(coords, conn_np, n_host, k_ax_host,
                                       k_bd_host, dtype)
         if cfg.use_pallas:
@@ -137,12 +140,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
     if cfg.precond == "tree":
         from .tree import build_tree_schedule, element_k3
         from .tree_jax import build_tree_plan
-        d = coords[conn_np[:, 1]] - coords[conn_np[:, 0]]
-        length = np.linalg.norm(d, axis=1)
-        l_safe = np.maximum(length, 1e-12)
-        n_host = d / l_safe[:, None]
-        k3 = element_k3(n_host, (cfg.e_mod * cfg.area) / l_safe,
-                        12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3))
+        k3 = element_k3(n_host, k_ax_host, k_bd_host)
         schedule = build_tree_schedule(conn_np, coords.shape[0], free)
         tree_plan = build_tree_plan(schedule, k3, dtype)
         if cfg.use_pallas and chain_packed is not None and schedule.levels:
@@ -157,7 +155,11 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
 
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)
-    geom = element_geometry(coords_j, conn_j, cfg)
+    geom = ElementGeometry(
+        n=jnp.asarray(n_host, dtype=dtype),
+        length=jnp.asarray(length, dtype=dtype),
+        k_ax=jnp.asarray(k_ax_host, dtype=dtype),
+        k_bd=jnp.asarray(k_bd_host, dtype=dtype))
     return FeaModel(
         coords=coords_j,
         conn=conn_j,

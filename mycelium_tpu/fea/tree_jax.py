@@ -145,7 +145,8 @@ def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
         pa_off.append(pa_off[-1] + P)
         s_base += S
 
-    cat = lambda xs, dt: jnp.asarray(np.concatenate(xs), dt)  # noqa: E731
+    cat = lambda xs, dt: jnp.asarray(  # noqa: E731
+        np.concatenate(xs).astype(dt, copy=False))
 
     k3_np = np.asarray(k3)
     k_scale = (float(np.median(np.trace(k3_np, axis1=1, axis2=2) / 3.0))
@@ -158,7 +159,7 @@ def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
             meta=TreeMeta(level_offsets=(0,), path_offsets=(0,),
                           level_steps=(), k_scale=k_scale),
             tree_edge=jnp.asarray(schedule.tree_edge),
-            k3=jnp.asarray(k3, dtype),
+            k3=jnp.asarray(np.asarray(k3, dtype)),
             slots=z1, left_elem=z1, left_fill=z1,
             left_fill_flip=jnp.zeros((0,), bool),
             first_gpos=z1, last_gpos=z1,
@@ -170,7 +171,7 @@ def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
                       path_offsets=tuple(pa_off),
                       level_steps=tuple(steps), k_scale=k_scale),
         tree_edge=jnp.asarray(schedule.tree_edge),
-        k3=jnp.asarray(k3, dtype),
+        k3=jnp.asarray(np.asarray(k3, dtype)),
         slots=cat(slots, jnp.int32),
         left_elem=cat(le, jnp.int32),
         left_fill=cat(lf, jnp.int32),
