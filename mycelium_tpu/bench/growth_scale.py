@@ -56,9 +56,10 @@ def run(names, t_steps: int | None = None):
         cfg = PRESETS[name]
         if t_steps is not None:
             cfg = dataclasses.replace(cfg, t_steps=t_steps)
-        # compile warm-up on a 2-step run of the same shapes
-        warm = dataclasses.replace(cfg, t_steps=2)
-        run_growth_scan(warm)
+        # warm-up runs the SAME program: scan length is baked into the XLA
+        # program, so a short-run warm-up would not precompile it (the
+        # persistent cache makes this near-free on repeat invocations)
+        run_growth_scan(cfg)
         t0 = time.perf_counter()
         st, _, history = run_growth_scan(cfg)
         # run_growth_scan value-fetches the stats, so the clock is closed

@@ -112,3 +112,44 @@ def test_pallas_tree_kernel_matches_xla_tree():
         scale = max(float(jnp.abs(rx.x).max()), 1e-30)
         err = float(jnp.abs(rp.x - rx.x).max()) / scale
         assert err < 5e-4, (frac, err)
+
+
+def test_vmem_estimator_and_gate():
+    """tree_kernel_vmem_bytes must track the actual packed table bytes, and
+    build_model must demote to the XLA path when the budget is exceeded."""
+    from tests.test_tree_pc import random_forest_mesh
+    from mycelium_tpu.fea.pallas_tree import tree_kernel_vmem_bytes
+    from mycelium_tpu.fea.tree import build_tree_schedule
+
+    coords, conn = random_forest_mesh(n_nodes=260, n_extra=8, seed=3)
+    base = dict(dtype="float32", operator="chain", grip_length=0.1,
+                precond="tree")
+    m = build_model(coords, conn, FeaConfig(use_pallas=True, **base))
+    assert m.tree_packed is not None
+    # estimate (tables + scratch) must cover the real table bytes without
+    # wild overshoot
+    y = np.asarray(coords)[:, 1]
+    free = ~((np.abs(y - y.max()) < 0.1) | (np.abs(y - y.min()) < 0.1))
+    sched = build_tree_schedule(np.asarray(conn), len(coords), free)
+    est = tree_kernel_vmem_bytes(sched, len(coords))
+    actual = sum(np.asarray(a).nbytes for a in m.tree_packed[:-3])
+    assert actual <= est <= 4 * actual + (1 << 20)
+    # a tiny budget must disable the kernel tables but keep the solve path
+    m_small = build_model(coords, conn, FeaConfig(
+        use_pallas=True, pallas_vmem_limit_mb=0.001, **base))
+    assert m_small.tree_packed is None and m_small.chain_packed is None
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+    grip = np.asarray(m_small.top_nodes) | np.asarray(m_small.bot_nodes)
+    anch = jnp.asarray(anchored_mask_host(
+        np.asarray(m_small.conn), np.ones(m_small.n_elems, bool), grip))
+    active = jnp.ones((m_small.n_elems,), bool)
+    x0 = jnp.zeros((m_small.n_nodes, 3), jnp.float32)
+    cfg = FeaConfig(use_pallas=True, pallas_vmem_limit_mb=0.001,
+                    rtol=1e-6, **base)
+    res = solve_displacement(m_small, active, 0.01, -0.01, x0, cfg, anch)
+    ref = solve_displacement(m, active, 0.01, -0.01, x0,
+                             FeaConfig(use_pallas=True, rtol=1e-6, **base),
+                             anch)
+    assert bool(res.converged)
+    scale = max(float(jnp.abs(ref.x).max()), 1e-30)
+    assert float(jnp.abs(res.x - ref.x).max()) / scale < 5e-4
