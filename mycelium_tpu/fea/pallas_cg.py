@@ -101,9 +101,9 @@ def chain_table_bytes(plan: "ChainPlan", n_nodes: int) -> int:
     nb = plan_nb(n_nodes)
     jp = plan.a_blk.shape[0]
     jpad = max((jp + JUMP_CHUNK - 1) // JUMP_CHUNK, 1) * JUMP_CHUNK
-    return 4 * (2 * jpad * (nb + BLOCK)    # ab_blk + ab_lane
-                + jpad * BLOCK             # jscal
-                + 4 * 3 * nb * BLOCK)      # cn/ckax/ckbd + working planes
+    return (2 * 2 * jpad * (nb + BLOCK)    # ab_blk + ab_lane (bf16)
+            + 4 * jpad * BLOCK             # jscal
+            + 4 * 4 * 3 * nb * BLOCK)      # cn/ckax/ckbd + working planes
 
 
 def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
@@ -140,14 +140,18 @@ def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
         for c in range(nch):
             parts.append(a[c * JUMP_CHUNK:(c + 1) * JUMP_CHUNK])
             parts.append(b[c * JUMP_CHUNK:(c + 1) * JUMP_CHUNK])
-        return jnp.asarray(np.concatenate(parts, axis=0))
+        return np.concatenate(parts, axis=0)
 
+    # jump one-hots in bf16 (0/1 exact; kernels upcast per chunk before
+    # the HIGHEST-precision matmuls) — halves their VMEM footprint
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
     return PackedChainData(
         cn=pack_vec3(plan.chain_n.astype(f32), nb),
         ckax=_tile3(_pack_plane(plan.chain_kax.astype(f32), nb)),
         ckbd=_tile3(_pack_plane(plan.chain_kbd.astype(f32), nb)),
-        ab_blk=inter(a_blk, b_blk),
-        ab_lane=inter(a_lane, b_lane),
+        ab_blk=jnp.asarray(inter(a_blk, b_blk).astype(bf16)),
+        ab_lane=jnp.asarray(inter(a_lane, b_lane).astype(bf16)),
         jscal=padj(jscal),
     )
 
@@ -210,8 +214,8 @@ def _cg_kernel(nb, jp, max_iter, rtol, reg, use_ramp,
         def chunk_body(ci, out):
             sl2 = pl.ds(ci * 2 * JUMP_CHUNK, 2 * JUMP_CHUNK)
             slp = pl.ds(ci * JUMP_CHUNK, JUMP_CHUNK)
-            ab_blk = ab_blk_ref[sl2, :]                    # (2C, NB)
-            ab_lane = ab_lane_ref[sl2, :]
+            ab_blk = ab_blk_ref[sl2, :].astype(f32)        # (2C, NB)
+            ab_lane = ab_lane_ref[sl2, :].astype(f32)
             jscal = jscal_ref[slp, :]
             jact1 = jact_ref[slp, :][:, 0:1]
             jn = (jscal[:, 0:1], jscal[:, 1:2], jscal[:, 2:3])

@@ -132,22 +132,26 @@ def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
         lens = lv.last_pos - lv.first_pos + 1
         maxlen = int(lens.max()) if len(lens) else 1
         r_star = max(r_star, int(np.ceil(np.log2(max(maxlen, 1)))))
-    floats = (
+    f32s = (
         9 * Sp                      # k3l
         + L * Sp + 2 * Sp           # lvm, fm, lm
         + 2 * 9 * Pp + L * Pp + Pp  # k3a0/1, pvm, hf
-        + 2 * 2 * Pp * (NBt + BLOCK)   # fl_*, at_*
+        + 3 * nbc * BLOCK           # slotcov
+        # scratch: ascr + bscr + dinv + ab0 + ab1
+        + 2 * max(r_star, 1) * 9 * Sp + 9 * Sp + 2 * 9 * Pp
+        # transient per-chunk f32 upcasts of the bf16 tables
+        + 4 * 2048 * (max(nbc, NBt) + BLOCK)
+    )
+    bf16s = (                          # one-hot tables (2 bytes each)
+        2 * 2 * Pp * (NBt + BLOCK)     # fl_*, at_*
         + 2 * Pp * (NBt + BLOCK)       # fs_* (n/f)
         + 4 * Pp * (NPb + BLOCK)       # af_* (4 side x flip combos)
         + Sp * (nbc + BLOCK)           # sc_*
         + Sp * (NBt + BLOCK)           # ids_*
         + Pp * (NPb + BLOCK)           # idp_*
         + 2 * Pp * (2 * NPb + BLOCK)   # id2p_*
-        + 3 * nbc * BLOCK              # slotcov
-        # scratch: ascr + bscr + dinv + ab0 + ab1
-        + 2 * max(r_star, 1) * 9 * Sp + 9 * Sp + 2 * 9 * Pp
     )
-    return 4 * floats
+    return 4 * f32s + 2 * bf16s
 
 
 def _pad_to(x, n, fill=0):
@@ -162,7 +166,11 @@ def _plane(v, nb):
 
 
 def _onehot(idx, rows, nblk):
-    """Two-stage one-hot for positions idx (negative = no-op row)."""
+    """Two-stage one-hot for positions idx (negative = no-op row).
+
+    Stored as bfloat16: 0.0/1.0 are exact in bf16, and the kernel upcasts
+    per chunk before the `Precision.HIGHEST` matmuls, so selection stays
+    f32-exact while the VMEM table cost halves."""
     blk = np.zeros((rows, nblk), np.float32)
     lane = np.zeros((rows, BLOCK), np.float32)
     m = np.asarray(idx) >= 0
@@ -170,7 +178,8 @@ def _onehot(idx, rows, nblk):
     v = np.asarray(idx)[m]
     blk[r, v // BLOCK] = 1.0
     lane[r, v % BLOCK] = 1.0
-    return blk, lane
+    import ml_dtypes
+    return blk.astype(ml_dtypes.bfloat16), lane.astype(ml_dtypes.bfloat16)
 
 
 def pack_tree_plan(schedule, chain_plan, n_nodes: int,
@@ -485,12 +494,13 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         for c0 in range(0, n_rows, RCHUNK):
             n = min(RCHUNK, n_rows - c0)
             sl = pl.ds(row0 + c0, n)
-            tmp = jnp.dot(blk_ref[sl, :], src_plane, precision=HI,
-                          preferred_element_type=f32)
-            vals = jnp.sum(tmp * lane_ref[sl, :], axis=1, keepdims=True)
+            tmp = jnp.dot(blk_ref[sl, :].astype(f32), src_plane,
+                          precision=HI, preferred_element_type=f32)
+            vals = jnp.sum(tmp * lane_ref[sl, :].astype(f32), axis=1,
+                           keepdims=True)
             out = out + lax.dot_general(
-                id_ref_pair[0][pl.ds(c0, n), :],
-                id_ref_pair[1][pl.ds(c0, n), :] * vals,
+                id_ref_pair[0][pl.ds(c0, n), :].astype(f32),
+                id_ref_pair[1][pl.ds(c0, n), :].astype(f32) * vals,
                 contract0, precision=HI, preferred_element_type=f32)
         return out
 
@@ -503,12 +513,13 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
             n = min(RCHUNK, n_rows - c0)
             sl = pl.ds(row0 + c0, n)
             isl = pl.ds(c0, n)
-            tmp = jnp.dot(id_ref_pair[0][isl, :], src_plane, precision=HI,
-                          preferred_element_type=f32)
-            vals = jnp.sum(tmp * id_ref_pair[1][isl, :], axis=1,
+            tmp = jnp.dot(id_ref_pair[0][isl, :].astype(f32), src_plane,
+                          precision=HI, preferred_element_type=f32)
+            vals = jnp.sum(tmp * id_ref_pair[1][isl, :].astype(f32), axis=1,
                            keepdims=True)
             out = out + lax.dot_general(
-                blk_ref[sl, :], lane_ref[sl, :] * vals,
+                blk_ref[sl, :].astype(f32),
+                lane_ref[sl, :].astype(f32) * vals,
                 contract0, precision=HI, preferred_element_type=f32)
         return out
 
@@ -588,8 +599,8 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         def chunk_body(ci, out):
             sl2 = pl.ds(ci * 2 * JUMP_CHUNK, 2 * JUMP_CHUNK)
             slp = pl.ds(ci * JUMP_CHUNK, JUMP_CHUNK)
-            ab_blk = ab_blk_ref[sl2, :]
-            ab_lane = ab_lane_ref[sl2, :]
+            ab_blk = ab_blk_ref[sl2, :].astype(f32)
+            ab_lane = ab_lane_ref[sl2, :].astype(f32)
             jscal = jscal_ref[slp, :]
             jact1 = jact_ref[slp, :][:, 0:1]
             jn = (jscal[:, 0:1], jscal[:, 1:2], jscal[:, 2:3])
