@@ -2,9 +2,11 @@
 
 The reference benchmarks 3 KSP types x 5 PETSc preconditioners x 5 trials
 per ramp step and writes step,solver,pc,trial,runtime_ms
-(src/fea_petsc_solverAndPC.cpp:221-223,326-391). The TPU rebuild sweeps its
-solver variants (cg, bicgstab) x (tree, block_jacobi, jacobi, none) over
-the same ramp with the same CSV schema. Unlike the reference — which leaks per-trial
+(src/fea_petsc_solverAndPC.cpp:221-223,326-391). The TPU rebuild sweeps the
+same 3x5 matrix shape: (cg, bicgstab, gmres) x (tree, coarse,
+block_jacobi, jacobi, none) — tree plays the icc/ilu role (exact
+factorization-grade PC), coarse the gamg role (two-level coarse grid) —
+over the same ramp with the same CSV schema. Unlike the reference — which leaks per-trial
 vectors and keeps only the last combo's solution for the physics
 (SURVEY.md §2.5.14) — the physics here always advances with the primary
 config's solution.
@@ -26,8 +28,8 @@ from ..fea.model import build_model
 from ..fea.ramp import anchored_mask_host, ramp_step
 from ..io.writers import write_sweep_results
 
-DEFAULT_SOLVERS = ("cg", "bicgstab")
-DEFAULT_PCS = ("tree", "block_jacobi", "jacobi", "none")
+DEFAULT_SOLVERS = ("cg", "bicgstab", "gmres")
+DEFAULT_PCS = ("tree", "coarse", "block_jacobi", "jacobi", "none")
 
 
 def run_solver_sweep(coords, conn, cfg: FeaConfig,

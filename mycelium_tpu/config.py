@@ -95,11 +95,14 @@ class FeaConfig:
     reg: float = 1e-12                 # diagonal regularization (fea_solver.py:125)
 
     # --- solver knobs (TPU-native; replaces PETSc -ksp_type/-pc_type) ---
-    solver: str = "cg"                 # 'cg' | 'bicgstab'
+    solver: str = "cg"                 # 'cg' | 'bicgstab' | 'gmres'
     precond: str = "block_jacobi"      # 'block_jacobi' | 'jacobi' | 'none'
                                        # | 'tree' (exact spanning-forest
                                        # elimination; ~100x fewer CG iters
                                        # on mycelium meshes)
+                                       # | 'coarse' (block-Jacobi + 128-node
+                                       # cluster Galerkin coarse grid;
+                                       # requires operator='chain')
     tree_reg_rel: float = 1e-5         # tree-PC diagonal floor, relative to
                                        # the median element stiffness: caps
                                        # the amplification of tree-floating

@@ -42,6 +42,8 @@ def make_preconditioner(model: FeaModel, active: jnp.ndarray,
                         free_nodes: jnp.ndarray | None = None) -> Callable:
     if cfg.precond == "none":
         return lambda r: r
+    if cfg.precond == "coarse" and model.chain is not None:
+        return _coarse_preconditioner(model, active, cfg, free_nodes)
     if cfg.precond == "tree":
         from .tree_jax import tree_apply, tree_factor
         free = model.free_nodes if free_nodes is None else free_nodes
@@ -63,6 +65,49 @@ def make_preconditioner(model: FeaModel, active: jnp.ndarray,
         return lambda r: r * inv_d
     inv_blocks = invert_blocks(blocks)
     return lambda r: jnp.einsum("nij,nj->ni", inv_blocks, r)
+
+
+def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
+                           free_nodes=None) -> Callable:
+    """Two-level additive Schwarz in node space: exact per-node 3x3 block
+    inverse plus a Galerkin coarse correction over 128-node chain clusters
+    (the XLA-path twin of the pallas_cg kernel's coarse grid; the coarse
+    operator is built by pallas_cg._coarse_inverse and densely inverted —
+    ~400x400 at 1e5 DOF). Reference analogue: the 'gamg' leg of the PETSc
+    sweep (src/fea_petsc_solverAndPC.cpp:223)."""
+    from .pallas_cg import _coarse_inverse, _ramp_weight, plan_nb
+    plan = model.chain
+    free = model.free_nodes if free_nodes is None else free_nodes
+    n = model.n_nodes
+    nb = plan_nb(n)
+    nc3 = 3 * nb
+    use_ramp = cfg.coarse_basis == "linear"
+    ainv = _coarse_inverse(model, plan, active, free, cfg, nb)
+    inv_blocks = invert_blocks(diag_blocks(model, active, cfg, free))
+    pos = plan.inv_perm                       # node -> chain position
+    cl = pos // 128
+    ramp = _ramp_weight(pos % 128).astype(model.coords.dtype)
+    fmask = free.astype(model.coords.dtype)
+
+    def pc(r):                                # r: (N,3) node space
+        z = jnp.einsum("nij,nj->ni", inv_blocks, r)
+        rf = r * fmask[:, None]
+        # restriction: coarse dof (basis fb, comp k, cluster c) =
+        # sum over nodes in cluster of (ramp^fb * r)
+        nc = (2 if use_ramp else 1) * nc3
+        rc = jnp.zeros((nc,), r.dtype)
+        for fb in range(2 if use_ramp else 1):
+            wgt = rf * (ramp[:, None] if fb else 1.0)
+            for k in range(3):
+                rc = rc.at[fb * nc3 + k * nb + cl].add(wgt[:, k])
+        zc = (ainv.astype(r.dtype) @ rc)
+        zn = jnp.stack([zc[k * nb + cl] for k in range(3)], axis=1)
+        if use_ramp:
+            zn = zn + ramp[:, None] * jnp.stack(
+                [zc[nc3 + k * nb + cl] for k in range(3)], axis=1)
+        return z + zn * fmask[:, None]
+
+    return pc
 
 
 def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
@@ -159,7 +204,28 @@ def bicgstab(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     return SolveResult(x=x, iters=k, resnorm=rnorm, converged=rnorm <= tol)
 
 
-SOLVERS = {"cg": pcg, "bicgstab": bicgstab}
+def gmres(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+          precond: Callable, rtol: float, atol: float,
+          max_iter: int, bnorm=None, restart: int = 32) -> SolveResult:
+    """Right-preconditioned restarted GMRES — the 'gmres' leg of the
+    reference's solver sweep (src/fea_petsc_solverAndPC.cpp:221). Wraps
+    jax.scipy.sparse.linalg.gmres (batched Arnoldi: MXU-friendly
+    re-orthogonalization); the returned iteration count is -1 (the
+    underlying implementation does not expose it)."""
+    from jax.scipy.sparse.linalg import gmres as _gmres
+    if bnorm is None:
+        bnorm = jnp.sqrt(_dot(b, b))
+    tol = jnp.maximum(rtol * bnorm, atol)
+    x, _ = _gmres(operator, b, x0=x0, tol=0.0, atol=tol,
+                  restart=restart, maxiter=max(max_iter // restart, 1),
+                  M=precond, solve_method="batched")
+    r = b - operator(x)
+    rnorm = jnp.sqrt(_dot(r, r))
+    return SolveResult(x=x, iters=jnp.asarray(-1, jnp.int32),
+                       resnorm=rnorm, converged=rnorm <= tol)
+
+
+SOLVERS = {"cg": pcg, "bicgstab": bicgstab, "gmres": gmres}
 
 
 def solve_displacement(model: FeaModel, active: jnp.ndarray,
@@ -215,8 +281,8 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         b = jnp.where(freef,
                       -chain_apply(plan, chain_act, jump_act, u_k_p),
                       u_k_p)
-        if cfg.precond == "tree":
-            # the tree solve lives in node space; wrap it with the chain
+        if cfg.precond in ("tree", "coarse"):
+            # these PCs live in node space; wrap them with the chain
             # permutation (two static gathers per iteration)
             node_pc = make_preconditioner(model, active, cfg, free)
             precond = lambda r: node_pc(r[plan.inv_perm])[plan.perm]  # noqa: E731
