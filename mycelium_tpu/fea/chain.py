@@ -122,10 +122,16 @@ def greedy_path_cover(conn: np.ndarray, n_nodes: int) -> np.ndarray:
 
 def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
                      geom_n: np.ndarray, k_ax: np.ndarray,
-                     k_bd: np.ndarray, dtype) -> ChainPlan:
+                     k_bd: np.ndarray, dtype,
+                     host_out: dict | None = None) -> ChainPlan:
     """Classify edges as chain (consecutive after permutation) or jump and
     build the one-hot jump tables. All inputs are host numpy in ORIGINAL
-    node numbering; geometry is the factored element data."""
+    node numbering; geometry is the factored element data.
+
+    ``host_out``, if given, receives the numpy versions of the plan tables
+    so downstream packers never fetch them back from the device (a 2-D
+    device->host fetch costs ~60-90s per array shape through the axon
+    tunnel — the dominant cold-build cost before this existed)."""
     n_nodes = coords.shape[0]
     n_elems = conn.shape[0]
     perm = greedy_path_cover(conn, n_nodes)
@@ -185,6 +191,11 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
         jkbd[:J] = k_bd[jump_ids]
         jelem[:J] = jump_ids
 
+    if host_out is not None:
+        host_out.update(
+            perm=perm, inv_perm=inv, chain_n=chain_n, chain_kax=chain_kax,
+            chain_kbd=chain_kbd, jump_n=jn, jump_kax=jkax, jump_kbd=jkbd,
+            a_blk=a_blk, a_lane=a_lane, b_blk=b_blk, b_lane=b_lane)
     # dtype conversion stays in numpy: jnp.asarray with a dtype change
     # compiles a convert_element_type per shape (slow on remote backends);
     # a same-dtype asarray is a pure device transfer

@@ -125,15 +125,17 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
 
     chain_plan = None
     chain_packed = None
+    chain_host: dict = {}
     if cfg.operator == "chain":
         from .chain import build_chain_plan
         chain_plan = build_chain_plan(coords, conn_np, n_host, k_ax_host,
-                                      k_bd_host, dtype)
+                                      k_bd_host, dtype, host_out=chain_host)
         if cfg.use_pallas:
             from .pallas_cg import chain_table_bytes, pack_plan
             budget = cfg.pallas_vmem_limit_mb * 2 ** 20
             if chain_table_bytes(chain_plan, coords.shape[0]) < budget:
-                chain_packed = pack_plan(chain_plan, coords.shape[0])
+                chain_packed = pack_plan(chain_plan, coords.shape[0],
+                                         host=chain_host)
 
     tree_plan = None
     tree_packed = None
@@ -151,7 +153,8 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
                     + chain_table_bytes(chain_plan, coords.shape[0]))
             if need < budget:
                 tree_packed = pack_tree_plan(schedule, chain_plan,
-                                             coords.shape[0], k3)
+                                             coords.shape[0], k3,
+                                             host=chain_host)
 
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)

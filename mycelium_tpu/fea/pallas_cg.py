@@ -106,31 +106,43 @@ def chain_table_bytes(plan: "ChainPlan", n_nodes: int) -> int:
             + 4 * 4 * 3 * nb * BLOCK)      # cn/ckax/ckbd + working planes
 
 
-def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
+def pack_plan(plan: ChainPlan, n_nodes: int,
+              host: dict | None = None) -> PackedChainData:
+    """Build the kernel's VMEM tables. Pass ``host`` (the dict filled by
+    build_chain_plan's host_out) so nothing is fetched back from the
+    device: 2-D device->host fetches cost ~60-90s per shape on the axon
+    tunnel. Without it, the plan's device arrays are fetched (slow path,
+    kept for standalone/test use)."""
     nb = plan_nb(n_nodes)
     f32 = jnp.float32
-    jp = plan.a_blk.shape[0]
+
+    def hget(name):
+        return (host[name] if host is not None
+                else np.asarray(getattr(plan, name)))
+
+    h_a_blk = hget("a_blk")
+    jp = h_a_blk.shape[0]
     jpad = max((jp + JUMP_CHUNK - 1) // JUMP_CHUNK, 1) * JUMP_CHUNK - jp
 
     def padj(x):
-        x = np.asarray(x, np.float32)
-        return jnp.asarray(np.pad(x, ((0, jpad), (0, 0))))
+        # pure numpy: a jnp round-trip here costs a device transfer + fetch
+        return np.pad(np.asarray(x, np.float32), ((0, jpad), (0, 0)))
 
     jscal = np.zeros((jp, BLOCK), np.float32)
-    jscal[:, 0:3] = np.asarray(plan.jump_n, np.float32)
-    jscal[:, 3] = np.asarray(plan.jump_kax, np.float32)
-    jscal[:, 4] = np.asarray(plan.jump_kbd, np.float32)
+    jscal[:, 0:3] = np.asarray(hget("jump_n"), np.float32)
+    jscal[:, 3] = np.asarray(hget("jump_kax"), np.float32)
+    jscal[:, 4] = np.asarray(hget("jump_kbd"), np.float32)
     # a_blk columns sized to this nb (ChainPlan's NB may be one smaller)
-    a_blk = np.asarray(plan.a_blk, np.float32)
-    b_blk = np.asarray(plan.b_blk, np.float32)
+    a_blk = np.asarray(h_a_blk, np.float32)
+    b_blk = np.asarray(hget("b_blk"), np.float32)
     if a_blk.shape[1] < nb:
         extra = nb - a_blk.shape[1]
         a_blk = np.pad(a_blk, ((0, 0), (0, extra)))
         b_blk = np.pad(b_blk, ((0, 0), (0, extra)))
-    a_blk = np.asarray(padj(a_blk))
-    b_blk = np.asarray(padj(b_blk))
-    a_lane = np.asarray(padj(plan.a_lane))
-    b_lane = np.asarray(padj(plan.b_lane))
+    a_blk = padj(a_blk)
+    b_blk = padj(b_blk)
+    a_lane = padj(hget("a_lane"))
+    b_lane = padj(hget("b_lane"))
     jtot = a_blk.shape[0]
     # interleave a/b at chunk granularity: [a-chunk0; b-chunk0; a-chunk1; ..]
     nch = jtot // JUMP_CHUNK
@@ -146,13 +158,22 @@ def pack_plan(plan: ChainPlan, n_nodes: int) -> PackedChainData:
     # the HIGHEST-precision matmuls) — halves their VMEM footprint
     import ml_dtypes
     bf16 = ml_dtypes.bfloat16
+
+    def plane_np(v):                       # (N,) -> (nb, 128) numpy
+        v = np.asarray(v, np.float32)
+        return np.pad(v, (0, nb * BLOCK - v.shape[0])).reshape(nb, BLOCK)
+
+    cn_np = np.concatenate([plane_np(np.asarray(hget("chain_n"))[:, k])
+                            for k in range(3)], axis=0)
+    ckax_np = np.tile(plane_np(hget("chain_kax")), (3, 1))
+    ckbd_np = np.tile(plane_np(hget("chain_kbd")), (3, 1))
     return PackedChainData(
-        cn=pack_vec3(plan.chain_n.astype(f32), nb),
-        ckax=_tile3(_pack_plane(plan.chain_kax.astype(f32), nb)),
-        ckbd=_tile3(_pack_plane(plan.chain_kbd.astype(f32), nb)),
+        cn=jnp.asarray(cn_np),
+        ckax=jnp.asarray(ckax_np),
+        ckbd=jnp.asarray(ckbd_np),
         ab_blk=jnp.asarray(inter(a_blk, b_blk).astype(bf16)),
         ab_lane=jnp.asarray(inter(a_lane, b_lane).astype(bf16)),
-        jscal=padj(jscal),
+        jscal=jnp.asarray(padj(jscal)),
     )
 
 

@@ -183,10 +183,13 @@ def _onehot(idx, rows, nblk):
 
 
 def pack_tree_plan(schedule, chain_plan, n_nodes: int,
-                   k3: np.ndarray) -> PackedTreeData:
+                   k3: np.ndarray,
+                   host: dict | None = None) -> PackedTreeData:
     """Build the static kernel tables from the host schedule.
 
-    k3: (E,3,3) host element couplings (f64)."""
+    k3: (E,3,3) host element couplings (f64). ``host`` is
+    build_chain_plan's host_out dict — with it, nothing is fetched back
+    from the device (see pack_plan)."""
     levels = schedule.levels
     conn = np.asarray(schedule.conn)
     E = len(conn)
@@ -321,7 +324,8 @@ def pack_tree_plan(schedule, chain_plan, n_nodes: int,
     hfv[:P_tot] = has_fill
 
     # ---- slot <-> chain transforms ----
-    inv_perm = np.asarray(chain_plan.inv_perm)      # node -> chain position
+    inv_perm = (host["inv_perm"] if host is not None
+                else np.asarray(chain_plan.inv_perm))  # node -> chain pos
     NBc = chain_plan.a_blk.shape[1]
     # chain planes in the kernel use nb = n//128 + 1 (pallas_cg.plan_nb)
     from .pallas_cg import plan_nb

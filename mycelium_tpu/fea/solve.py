@@ -221,8 +221,14 @@ def gmres(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
                   M=precond, solve_method="batched")
     r = b - operator(x)
     rnorm = jnp.sqrt(_dot(r, r))
+    # floor the convergence check at roundoff of the full RHS: a zero
+    # condensed RHS (all-gripped/zero-dy systems) makes tol exactly 0,
+    # which the recomputed residual can miss by ~1e-24 of fp noise
+    eps = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
+    floor = 64.0 * eps * jnp.sqrt(_dot(b, b))
     return SolveResult(x=x, iters=jnp.asarray(-1, jnp.int32),
-                       resnorm=rnorm, converged=rnorm <= tol)
+                       resnorm=rnorm,
+                       converged=rnorm <= jnp.maximum(tol, floor))
 
 
 SOLVERS = {"cg": pcg, "bicgstab": bicgstab, "gmres": gmres}

@@ -155,7 +155,7 @@ def _scipy_reference_solve(model, cfg, active_np, dy_top, dy_bot):
 
 
 @pytest.mark.parametrize("scene_name", list(scenes.SCENES))
-@pytest.mark.parametrize("solver", ["cg", "bicgstab"])
+@pytest.mark.parametrize("solver", ["cg", "bicgstab", "gmres"])
 def test_solve_matches_spsolve(scene_name, solver):
     cfg = archive_parity_config(solver=solver)
     sc = scenes.SCENES[scene_name]()
@@ -171,7 +171,8 @@ def test_solve_matches_spsolve(scene_name, solver):
     np.testing.assert_allclose(U, U_ref, rtol=1e-6, atol=1e-12)
 
 
-@pytest.mark.parametrize("precond", ["block_jacobi", "jacobi", "none"])
+@pytest.mark.parametrize("precond", ["block_jacobi", "jacobi", "none",
+                                     "coarse"])
 def test_preconditioners_all_converge(precond):
     cfg = archive_parity_config(precond=precond)
     sc = scenes.test_X()
