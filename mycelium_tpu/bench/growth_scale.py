@@ -40,6 +40,8 @@ PRESETS = {
         inoculum_nx=21, inoculum_ny=21,
         omega0=5e-6 * (441 / 25),
         max_segments=1 << 18, max_hyphae=1 << 17,
+        max_tips_per_cell=10,   # = h0_per_point (the co-located inoculum
+                                # tips); anastomosis cost scales with it
     ),
 }
 

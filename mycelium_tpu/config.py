@@ -57,6 +57,10 @@ class GrowthConfig:
     voxel_size: float = 0.1            # neighbor-grid cell size (call-site value,
                                        # mycelium_sim_2D.py:661 — NOT the 0.2 class default)
     max_per_cell: int = 64             # static cap on segments gathered per grid cell
+    max_tips_per_cell: int = 16        # static cap on active tips per cell in the
+                                       # anastomosis query (>= h0_per_point covers
+                                       # the co-located inoculum tips; large scenes
+                                       # can lower it — cost scales linearly)
     dtype: str = "float32"
 
     @property

@@ -31,9 +31,6 @@ import numpy as np
 from ..config import GrowthConfig
 from .state import ACTIVE, ANASTOMOSED, EMPTY, GrowthState
 
-MAX_TIPS_PER_CELL = 16
-
-
 def grid_dims(cfg: GrowthConfig):
     """Static grid extents: the dish plus margin for wall-leaked tips;
     out-of-range coordinates clip into the border cells."""
@@ -116,7 +113,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         strategy = "window" if _jax.default_backend() == "cpu" else "grid"
     N, H = st.capacity, st.tip.shape[0]
     C = cfg.max_per_cell
-    Ct = MAX_TIPS_PER_CELL
+    Ct = cfg.max_tips_per_cell
     g, gz = grid_dims(cfg)
     m_cells = g * g * gz
     dtype = st.start.dtype
@@ -156,30 +153,70 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
                 jnp.where(better[..., None], pmin, best_proj))
 
     if strategy == "grid":
-        # tips bucketed onto the same grid; neighborhoods via table rolls
-        seg_grid = sgeo_pad[seg_tbl].reshape(g, g, gz * C, 6)
-        idx_grid = seg_tbl.reshape(g, g, gz * C)
+        # Tips bucketed onto the same grid; neighborhoods by rolling the
+        # SMALL tip table against the static segment table (rolling the
+        # segment table costs g*g*C*6 floats per offset — 9x64MB of pure
+        # relayout traffic at the large preset). The inner loop computes
+        # only squared distances with a fused min/argmin over candidates
+        # (materializing per-candidate projections cost 4x the traffic);
+        # the winning candidate's projection is recomputed once at the end.
+        GC = gz * C
+        GT = gz * Ct
+        seg_grid = sgeo_pad[seg_tbl].reshape(g, g, GC, 6)
+        idx_grid = seg_tbl.reshape(g, g, GC)
         tip_cell = jnp.where(tip_ok, _cell_id(tip_end, cfg), m_cells)
         tip_tbl = _bucket(t, tip_cell, m_cells, Ct,           # seg slot ids
                           sentinel=N)
         end_pad = jnp.concatenate([st.end, jnp.zeros((1, 3), dtype)],
                                   axis=0)
-        tpos = end_pad[jnp.minimum(tip_tbl, N)].reshape(g, g, gz * Ct, 3)
-        tslot = tip_tbl.reshape(g, g, gz * Ct)
-        best = (jnp.full((g, g, gz * Ct), big),
-                jnp.zeros((g, g, gz * Ct, 3), dtype))
-        for dx, dy in offs:
-            nb_geo = jnp.roll(seg_grid, (-dx, -dy), axis=(0, 1))
-            nb_idx = jnp.roll(idx_grid, (-dx, -dy), axis=(0, 1))
-            d, proj = point_segment_distance(
-                tpos[:, :, :, None, :],
-                nb_geo[:, :, None, :, 0:3],
-                nb_geo[:, :, None, :, 3:6])                   # (g,g,Ct,GC)
-            best = fold_offset(best, d, proj, nb_idx[:, :, None, :],
-                               tslot[:, :, :, None])
+        tpos = end_pad[jnp.minimum(tip_tbl, N)].reshape(g, g, GT, 3)
+        tslot = tip_tbl.reshape(g, g, GT)
+
+        def dist2(p, a, b):
+            ap = p - a
+            ab = b - a
+            ab2 = jnp.sum(ab * ab, axis=-1)
+            tt = jnp.sum(ap * ab, axis=-1) / jnp.where(ab2 < 1e-12, 1.0,
+                                                       ab2)
+            tt = jnp.where(ab2 < 1e-12, 0.0, jnp.clip(tt, 0.0, 1.0))
+            r = ap - tt[..., None] * ab
+            return jnp.sum(r * r, axis=-1)
+
+        best_d2 = jnp.full((g, g, GT), big)
+        best_off = jnp.zeros((g, g, GT), jnp.int32)
+        best_k = jnp.zeros((g, g, GT), jnp.int32)
+        for oi, (dx, dy) in enumerate(offs):
+            tp = jnp.roll(tpos, (-dx, -dy), axis=(0, 1))
+            ts = jnp.roll(tslot, (-dx, -dy), axis=(0, 1))
+            d2 = dist2(tp[:, :, :, None, :],
+                       seg_grid[:, :, None, :, 0:3],
+                       seg_grid[:, :, None, :, 3:6])          # (g,g,GT,GC)
+            invalid = (idx_grid[:, :, None, :] == ts[..., None]) \
+                | (idx_grid[:, :, None, :] >= N)
+            d2 = jnp.where(invalid, big, d2)
+            dmin = jnp.min(d2, axis=-1)
+            kmin = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+            # roll results back to the tip cells' positions
+            dmin = jnp.roll(dmin, (dx, dy), axis=(0, 1))
+            kmin = jnp.roll(kmin, (dx, dy), axis=(0, 1))
+            better = dmin < best_d2
+            best_d2 = jnp.where(better, dmin, best_d2)
+            best_off = jnp.where(better, oi, best_off)
+            best_k = jnp.where(better, kmin, best_k)
+
+        # winner's global segment id: candidate best_k in the neighbor
+        # cell picked by best_off (small per-tip-slot gathers)
+        dxs = jnp.asarray([o[0] for o in offs], jnp.int32)
+        dys = jnp.asarray([o[1] for o in offs], jnp.int32)
+        gi = jnp.arange(g, dtype=jnp.int32)
+        ci = (gi[:, None, None] + dxs[best_off]) % g
+        cj = (gi[None, :, None] + dys[best_off]) % g
+        win_id = idx_grid[ci, cj, best_k]                     # (g,g,GT)
+        geo = sgeo_pad[jnp.minimum(win_id, N)]
+        _, proj = point_segment_distance(tpos, geo[..., 0:3], geo[..., 3:6])
         flat_slot = tslot.reshape(-1)
-        flat_d = best[0].reshape(-1)
-        flat_proj = best[1].reshape(-1, 3)
+        flat_d = jnp.sqrt(best_d2).reshape(-1)
+        flat_proj = proj.reshape(-1, 3)
         snap = (flat_slot < N) & (flat_d <= cfg.anastomosis_tol)
     else:
         # per-tip windows gathered from the dense table (CPU-friendly)
