@@ -43,7 +43,8 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
         cfg = FeaConfig(dtype="float32", rtol=rtol, warm_start=False,
                         operator="chain",
                         use_pallas=jax.default_backend() != "cpu",
-                        precond="tree", grip_length=0.1)
+                        precond="tree", tree_coarse_weight=0.25,
+                        grip_length=0.1)
         t0 = time.time()
         model = build_model(coords, conn, cfg)
         build_s = time.time() - t0

@@ -107,6 +107,11 @@ class FeaConfig:
                                        # | 'coarse' (block-Jacobi + 128-node
                                        # cluster Galerkin coarse grid;
                                        # requires operator='chain')
+    tree_coarse_weight: float = 0.0    # >0 adds w x the 128-node-cluster
+                                       # Galerkin coarse correction to the
+                                       # tree PC (captures long-wavelength
+                                       # coupling through anastomosis
+                                       # loops; XLA path only)
     tree_reg_rel: float = 1e-5         # tree-PC diagonal floor, relative to
                                        # the median element stiffness: caps
                                        # the amplification of tree-floating
@@ -153,7 +158,7 @@ def tuned_fea_config(**overrides) -> FeaConfig:
     same displacement field (same rtol), it just takes ~60x fewer
     iterations on mycelium meshes (see fea/tree.py).
     """
-    base = dict(operator="chain", precond="tree")
+    base = dict(operator="chain", precond="tree", tree_coarse_weight=0.25)
     if overrides.get("dtype", "float32") == "float32":
         import jax
         if jax.default_backend() != "cpu":

@@ -56,6 +56,15 @@ def make_preconditioner(model: FeaModel, active: jnp.ndarray,
         factor = tree_factor(model.tree, active, free,
                              jnp.asarray(reg_pc, model.coords.dtype),
                              model.conn)
+        if cfg.tree_coarse_weight > 0.0 and model.chain is not None:
+            # additive cluster coarse grid on top of the exact forest
+            # elimination: the tree PC misses the long-wavelength coupling
+            # through anastomosis loops, which is exactly what the
+            # 128-node-cluster Galerkin space captures
+            cpc = _coarse_preconditioner(model, active, cfg, free_nodes,
+                                         include_blocks=False)
+            w = float(cfg.tree_coarse_weight)
+            return lambda r: tree_apply(model.tree, factor, r) + w * cpc(r)
         return lambda r: tree_apply(model.tree, factor, r)
     blocks = diag_blocks(model, active, cfg, free_nodes)
     if cfg.precond == "jacobi":
@@ -68,7 +77,8 @@ def make_preconditioner(model: FeaModel, active: jnp.ndarray,
 
 
 def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
-                           free_nodes=None) -> Callable:
+                           free_nodes=None,
+                           include_blocks: bool = True) -> Callable:
     """Two-level additive Schwarz in node space: exact per-node 3x3 block
     inverse plus a Galerkin coarse correction over 128-node chain clusters
     (the XLA-path twin of the pallas_cg kernel's coarse grid; the coarse
@@ -83,14 +93,16 @@ def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
     nc3 = 3 * nb
     use_ramp = cfg.coarse_basis == "linear"
     ainv = _coarse_inverse(model, plan, active, free, cfg, nb)
-    inv_blocks = invert_blocks(diag_blocks(model, active, cfg, free))
+    inv_blocks = (invert_blocks(diag_blocks(model, active, cfg, free))
+                  if include_blocks else None)
     pos = plan.inv_perm                       # node -> chain position
     cl = pos // 128
     ramp = _ramp_weight(pos % 128).astype(model.coords.dtype)
     fmask = free.astype(model.coords.dtype)
 
     def pc(r):                                # r: (N,3) node space
-        z = jnp.einsum("nij,nj->ni", inv_blocks, r)
+        z = (jnp.einsum("nij,nj->ni", inv_blocks, r) if include_blocks
+             else jnp.zeros_like(r))
         rf = r * fmask[:, None]
         # restriction: coarse dof (basis fb, comp k, cluster c) =
         # sum over nodes in cluster of (ramp^fb * r)
@@ -108,6 +120,44 @@ def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
         return z + zn * fmask[:, None]
 
     return pc
+
+
+def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
+                     free_nodes=None) -> Callable:
+    """Cluster Galerkin coarse correction operating on CHAIN-PERMUTED
+    residuals: clusters = 128 consecutive chain positions, so restriction
+    is a reshape-sum and prolongation a broadcast (zero gathers)."""
+    from .pallas_cg import _coarse_inverse, _ramp_weight, plan_nb
+    plan = model.chain
+    free = model.free_nodes if free_nodes is None else free_nodes
+    n = model.n_nodes
+    nb = plan_nb(n)
+    use_ramp = cfg.coarse_basis == "linear"
+    ainv = _coarse_inverse(model, plan, active, free, cfg, nb)
+    dtype = model.coords.dtype
+    pos = jnp.arange(nb * 128, dtype=jnp.int32)
+    rampw = _ramp_weight(pos % 128).astype(dtype)          # (nb*128,)
+    free_p = free[plan.perm].astype(dtype)                 # chain order
+
+    def cc(r):                                             # r: (N,3) chain
+        rf = r * free_p[:, None]
+        rpad = jnp.pad(rf, ((0, nb * 128 - n), (0, 0)))
+        rcl = rpad.reshape(nb, 128, 3)
+        rc0 = jnp.sum(rcl, axis=1)                         # (nb, 3)
+        # dof order: fb*3nb + comp*nb + cluster
+        parts = [rc0.T.reshape(-1)]
+        if use_ramp:
+            rw = rampw.reshape(nb, 128, 1)
+            parts.append(jnp.sum(rcl * rw, axis=1).T.reshape(-1))
+        zc = ainv.astype(dtype) @ jnp.concatenate(parts)
+        zc0 = zc[:3 * nb].reshape(3, nb).T                 # (nb, 3)
+        zn = jnp.repeat(zc0[:, None, :], 128, axis=1)      # (nb, 128, 3)
+        if use_ramp:
+            zc1 = zc[3 * nb:6 * nb].reshape(3, nb).T
+            zn = zn + zc1[:, None, :] * rampw.reshape(nb, 128, 1)
+        return zn.reshape(-1, 3)[:n] * free_p[:, None]
+
+    return cc
 
 
 def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
@@ -250,6 +300,10 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         else jnp.logical_and(model.free_nodes, anchored)
     u_k = prescribed_values(model, dy_top, dy_bot)
 
+    # the in-kernel tree PC has no coarse stage; when the tables fit VMEM
+    # the kernel still wins by an order of magnitude, so it takes
+    # precedence and tree_coarse_weight only shapes the XLA fallback
+    # (the PC changes the CG path, not the solution — same rtol)
     if cfg.operator == "chain" and model.chain is not None \
             and cfg.use_pallas and cfg.precond == "tree" \
             and getattr(model, "tree_packed", None) is not None \
@@ -287,7 +341,20 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         b = jnp.where(freef,
                       -chain_apply(plan, chain_act, jump_act, u_k_p),
                       u_k_p)
-        if cfg.precond in ("tree", "coarse"):
+        if cfg.precond == "tree" and cfg.tree_coarse_weight > 0.0:
+            # tree PC in node space + coarse correction directly in chain
+            # space: the 128-node clusters ARE the chain-plane rows, so
+            # restriction/prolongation are reshape-sums and broadcasts —
+            # no gathers or scatters (the node-space version's scatter-add
+            # restriction costs as much as the tree apply itself)
+            import dataclasses as _dc
+            tree_only = _dc.replace(cfg, tree_coarse_weight=0.0)
+            node_pc = make_preconditioner(model, active, tree_only, free)
+            cc = _coarse_chain_fn(model, active, cfg, free)
+            w = float(cfg.tree_coarse_weight)
+            precond = lambda r: (node_pc(r[plan.inv_perm])[plan.perm]  # noqa: E731
+                                 + w * cc(r))
+        elif cfg.precond in ("tree", "coarse"):
             # these PCs live in node space; wrap them with the chain
             # permutation (two static gathers per iteration)
             node_pc = make_preconditioner(model, active, cfg, free)

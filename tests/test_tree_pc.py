@@ -165,3 +165,27 @@ def test_tree_pc_on_fully_gripped_scenes(scene_name):
     x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
     res = solve_displacement(model, active, 0.01, -0.01, x0, cfg)
     assert bool(res.converged)
+
+
+def test_tree_plus_coarse_weight_matches_tree_solution():
+    """tree_coarse_weight only changes the CG path, not the solution."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+    from mycelium_tpu.fea.solve import solve_displacement
+
+    coords, conn = random_forest_mesh(n_nodes=300, n_extra=12, seed=5)
+    base = FeaConfig(dtype="float64", rtol=1e-11, operator="chain",
+                     precond="tree", warm_start=False, grip_length=0.1)
+    m = build_model(coords, conn, base)
+    grip = np.asarray(m.top_nodes) | np.asarray(m.bot_nodes)
+    anch = jnp.asarray(anchored_mask_host(
+        np.asarray(m.conn), np.ones(m.n_elems, bool), grip))
+    act = jnp.ones((m.n_elems,), bool)
+    x0 = jnp.zeros((m.n_nodes, 3))
+    ref = solve_displacement(m, act, 0.01, -0.01, x0, base, anch)
+    cfg = dataclasses.replace(base, tree_coarse_weight=0.25)
+    res = solve_displacement(m, act, 0.01, -0.01, x0, cfg, anch)
+    assert bool(res.converged)
+    scale = max(float(jnp.abs(ref.x).max()), 1e-30)
+    assert float(jnp.abs(res.x - ref.x).max()) / scale < 1e-7
