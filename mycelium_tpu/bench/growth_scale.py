@@ -43,6 +43,15 @@ PRESETS = {
         max_tips_per_cell=10,   # = h0_per_point (the co-located inoculum
                                 # tips); anastomosis cost scales with it
     ),
+    # 4,356 sites on a 33 mm dish -> ~1e6 segments at step 150 (the
+    # SURVEY.md M4 scale target; fixed-capacity state at 2^21 slots)
+    "xlarge": GrowthConfig(
+        dish_size=35.0, substrate_width=35.0,
+        inoculum_nx=66, inoculum_ny=66,
+        omega0=5e-6 * (4356 / 25),
+        max_segments=1 << 21, max_hyphae=1 << 19,
+        max_tips_per_cell=10,
+    ),
 }
 
 

@@ -185,24 +185,37 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         best_d2 = jnp.full((g, g, GT), big)
         best_off = jnp.zeros((g, g, GT), jnp.int32)
         best_k = jnp.zeros((g, g, GT), jnp.int32)
+        # candidate axis processed in chunks of K inside a scan: the
+        # working set per step is (g,g,GT,K) ~ a few tens of MB instead of
+        # (g,g,GT,GC,3) temporaries in the 100s of MB, which the fusion
+        # can keep on-chip
+        K = min(16, GC)
+        while GC % K:
+            K -= 1
         for oi, (dx, dy) in enumerate(offs):
-            tp = jnp.roll(tpos, (-dx, -dy), axis=(0, 1))
-            ts = jnp.roll(tslot, (-dx, -dy), axis=(0, 1))
-            d2 = dist2(tp[:, :, :, None, :],
-                       seg_grid[:, :, None, :, 0:3],
-                       seg_grid[:, :, None, :, 3:6])          # (g,g,GT,GC)
-            invalid = (idx_grid[:, :, None, :] == ts[..., None]) \
-                | (idx_grid[:, :, None, :] >= N)
-            d2 = jnp.where(invalid, big, d2)
-            dmin = jnp.min(d2, axis=-1)
-            kmin = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-            # roll results back to the tip cells' positions
-            dmin = jnp.roll(dmin, (dx, dy), axis=(0, 1))
-            kmin = jnp.roll(kmin, (dx, dy), axis=(0, 1))
-            better = dmin < best_d2
-            best_d2 = jnp.where(better, dmin, best_d2)
-            best_off = jnp.where(better, oi, best_off)
-            best_k = jnp.where(better, kmin, best_k)
+            nb = jnp.roll(seg_grid, (-dx, -dy), axis=(0, 1))
+            nbid = jnp.roll(idx_grid, (-dx, -dy), axis=(0, 1))
+
+            def chunk_body(carry, c, nb=nb, nbid=nbid, oi=oi):
+                b_d2, b_off, b_k = carry
+                sl = jax.lax.dynamic_slice_in_dim(nb, c * K, K, axis=2)
+                ids = jax.lax.dynamic_slice_in_dim(nbid, c * K, K, axis=2)
+                d2 = dist2(tpos[:, :, :, None, :],
+                           sl[:, :, None, :, 0:3],
+                           sl[:, :, None, :, 3:6])            # (g,g,GT,K)
+                invalid = (ids[:, :, None, :] == tslot[..., None]) \
+                    | (ids[:, :, None, :] >= N)
+                d2 = jnp.where(invalid, big, d2)
+                dmin = jnp.min(d2, axis=-1)
+                kmin = (jnp.argmin(d2, axis=-1).astype(jnp.int32) + c * K)
+                better = dmin < b_d2
+                return (jnp.where(better, dmin, b_d2),
+                        jnp.where(better, oi, b_off),
+                        jnp.where(better, kmin, b_k)), None
+
+            (best_d2, best_off, best_k), _ = jax.lax.scan(
+                chunk_body, (best_d2, best_off, best_k),
+                jnp.arange(GC // K, dtype=jnp.int32))
 
         # winner's global segment id: candidate best_k in the neighbor
         # cell picked by best_off (small per-tip-slot gathers)
