@@ -72,9 +72,28 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
     n_dev = int(mesh.devices.size)
     N = model.n_nodes
     dtype = model.coords.dtype
-    Np = N + ((-N) % n_dev)
+    # node padding: a device multiple, and with the coarse level also a
+    # 128-multiple per shard so clusters never cross shard boundaries
+    use_coarse = cfg.precond == "coarse"
+    if use_coarse and model.chain is None:
+        raise ValueError("sharded precond='coarse' needs the chain node "
+                         "ordering: build the model with operator='chain' "
+                         "(coarse clusters must be spatially coherent — "
+                         "creation-order clusters make the correction "
+                         "counterproductive)")
+    quantum = n_dev * 128 if use_coarse else n_dev
+    Np = N + ((-N) % quantum)
+    nb_tot = Np // 128 if use_coarse else 0
+    n_basis = 2 if cfg.coarse_basis == "linear" else 1
 
-    conn_p = _pad_to(model.conn, n_dev, 0)
+    # with the coarse level, the whole solve runs in CHAIN-permuted node
+    # order: 128-node clusters are then contiguous chain runs (the coarse
+    # space needs locality) and shard halos shrink as a side effect
+    perm = model.chain.perm if use_coarse else None
+    inv_perm = model.chain.inv_perm if use_coarse else None
+    conn_eff = inv_perm[model.conn] if use_coarse else model.conn
+
+    conn_p = _pad_to(conn_eff, n_dev, 0)
     n_geom = _pad_to(model.geom.n, n_dev, 0.0)
     k_ax_p = _pad_to(model.geom.k_ax, n_dev, 0.0)   # zero-stiffness padding
     k_bd_p = _pad_to(model.geom.k_bd, n_dev, 0.0)
@@ -83,9 +102,11 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
     rep = P()
 
     def body(conn_l, n_l, kax_l, kbd_l, active_l,
-             free_l, u_k_l, inv_b_l, x0_l):
+             free_l, u_k_l, inv_b_l, x0_l, ainv_r):
         """Per-shard CG. Local vectors are (Np/n_dev, 3); conn_l holds
-        GLOBAL node ids resolved against the all-gathered displacement."""
+        GLOBAL node ids resolved against the all-gathered displacement.
+        ``ainv_r`` is the replicated dense coarse inverse (or a (1,1)
+        dummy when the coarse level is off)."""
         freef = free_l[:, None]
         reg = jnp.asarray(cfg.reg, dtype)
 
@@ -112,8 +133,44 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
             kv_l = matvec_k(v_l)
             return jnp.where(freef, kv_l + reg * v_l, u_l)
 
-        def precond(r_l):
-            return jnp.einsum("nij,nj->ni", inv_b_l, r_l)
+        if use_coarse:
+            from .pallas_cg import _ramp_weight
+            nb_loc = Np // n_dev // 128
+            rampw = _ramp_weight(jnp.arange(128)).astype(dtype)
+            me = jax.lax.axis_index(axis)
+
+            def coarse(r_l):
+                """Two-level correction: shard-local cluster restriction,
+                replicated dense coarse solve (rc is a few KB — the
+                all_gather is the analogue of PETSc GAMG's coarsest-level
+                redundant solve), local prolongation."""
+                rf = r_l * freef
+                rcl = rf.reshape(nb_loc, 128, 3)
+                parts_l = [jnp.sum(rcl, axis=1)]               # (nb_loc,3)
+                if n_basis == 2:
+                    parts_l.append(jnp.sum(rcl * rampw[None, :, None],
+                                           axis=1))
+                rc_l = jnp.stack(parts_l, axis=0)              # (nb_basis,...)
+                rc = jax.lax.all_gather(rc_l, axis)            # (D,nb_b,nb_loc,3)
+                # global dof order fb*3*nb + comp*nb + cluster, with
+                # cluster = dev*nb_loc + local cluster
+                rc = jnp.moveaxis(rc, (1, 3), (0, 1))          # (nb_b,3,D,nb_loc)
+                rc_vec = rc.reshape(-1)
+                zc = ainv_r.astype(dtype) @ rc_vec
+                zc = zc.reshape(n_basis, 3, n_dev, nb_loc)
+                zme = jax.lax.dynamic_index_in_dim(
+                    jnp.moveaxis(zc, 2, 0), me, axis=0,
+                    keepdims=False)                            # (nb_b,3,nb_loc)
+                zn = jnp.repeat(zme[0].T[:, None, :], 128, axis=1)
+                if n_basis == 2:
+                    zn = zn + zme[1].T[:, None, :] * rampw[None, :, None]
+                return zn.reshape(-1, 3) * freef
+
+            def precond(r_l):
+                return jnp.einsum("nij,nj->ni", inv_b_l, r_l) + coarse(r_l)
+        else:
+            def precond(r_l):
+                return jnp.einsum("nij,nj->ni", inv_b_l, r_l)
 
         b_l = jnp.where(freef, -matvec_k(u_k_l), u_k_l)
         bnorm = jnp.sqrt(pdot(jnp.where(freef, b_l, 0.0),
@@ -150,7 +207,7 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
 
     body_sharded = _shard_map(
         body, mesh=mesh,
-        in_specs=(spec1,) * 9,
+        in_specs=(spec1,) * 9 + (rep,),
         out_specs=(spec1, rep, rep, rep),
         **_replication_kw,
     )
@@ -161,19 +218,28 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
     def _solve(model_, tables, active, dy_top, dy_bot, x0, anchored):
         conn_t, n_t, kax_t, kbd_t = tables
         active_p = _pad_to(active, n_dev, False)
-        u_k_p = _pad_to(prescribed_values(model_, dy_top, dy_bot),
-                        n_dev, 0.0)
+        u_k = prescribed_values(model_, dy_top, dy_bot)
         free = model_.free_nodes if anchored is None \
             else jnp.logical_and(model_.free_nodes, anchored)
-        free_p = _pad_to(free, n_dev, False)
-        x0_p = _pad_to(x0, n_dev, 0.0)
-        inv_blocks_p = _pad_to(invert_blocks(diag_blocks(model_, active,
-                                                         cfg, free)),
-                               n_dev, 0.0)
+        inv_blocks = invert_blocks(diag_blocks(model_, active, cfg, free))
+        if use_coarse:
+            from .pallas_cg import _coarse_inverse
+            ainv = _coarse_inverse(model_, model_.chain, active, free,
+                                   cfg, nb_tot)
+            u_k, free, x0_n = u_k[perm], free[perm], x0[perm]
+            inv_blocks = inv_blocks[perm]
+        else:
+            ainv = jnp.zeros((1, 1), dtype)
+            x0_n = x0
+        u_k_p = _pad_to(u_k, quantum, 0.0)
+        free_p = _pad_to(free, quantum, False)
+        x0_p = _pad_to(x0_n, quantum, 0.0)
+        inv_blocks_p = _pad_to(inv_blocks, quantum, 0.0)
         x_p, iters, rnorm, conv = body_sharded(
             conn_t, n_t, kax_t, kbd_t, active_p,
-            free_p, u_k_p, inv_blocks_p, x0_p)
-        return SolveResult(x=x_p[:N], iters=iters, resnorm=rnorm,
+            free_p, u_k_p, inv_blocks_p, x0_p, ainv)
+        x = x_p[:N][inv_perm] if use_coarse else x_p[:N]
+        return SolveResult(x=x, iters=iters, resnorm=rnorm,
                            converged=conv)
 
     tables = (conn_p, n_geom, k_ax_p, k_bd_p)

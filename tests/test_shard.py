@@ -95,3 +95,28 @@ def test_sharded_ramp_matches_single_chip():
     np.testing.assert_array_equal(resN.active_record, res1.active_record)
     np.testing.assert_allclose(resN.force_disp, res1.force_disp,
                                rtol=1e-7, atol=1e-16)
+
+
+@pytest.mark.parametrize("basis", ["const", "linear"])
+def test_sharded_coarse_preconditioner(growth_mesh, basis):
+    """The sharded two-level CG (block-Jacobi + replicated coarse solve in
+    chain order) must reproduce the single-chip 'coarse' PC: same solution
+    and essentially the same iteration path. (Whether the coarse level
+    helps is mesh-dependent — it wins on large/loopy meshes, see
+    docs/PERFORMANCE.md — so the contract here is sharding fidelity.)"""
+    coords, conn = growth_mesh
+    import dataclasses
+    base = archive_parity_config(grip_length=0.3, operator="chain")
+    cfg = dataclasses.replace(base, precond="coarse", coarse_basis=basis)
+    model = build_model(coords, conn, base)
+    active = jnp.ones((model.n_elems,), bool)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
+    ref = solve_displacement(model, active, 0.005, -0.005, x0, cfg)
+    tl = sharded_cg_solver(model, cfg, default_mesh(8))(
+        active, 0.005, -0.005, x0)
+    assert bool(tl.converged)
+    err = np.linalg.norm(np.asarray(tl.x) - np.asarray(ref.x))
+    assert err < 1e-6, f"sharded vs 1-chip coarse L2 {err:.3e}"
+    # same PC => same Krylov path up to float associativity
+    assert abs(int(tl.iters) - int(ref.iters)) <= max(
+        5, int(0.2 * int(ref.iters))), (int(tl.iters), int(ref.iters))
