@@ -40,7 +40,11 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
                      verbose: bool = False) -> List[Tuple]:
     """Returns rows (step, solver, pc, trial, runtime_ms); the timed kernel
     is one full cold-start solve (x0 = 0) of the current ramp system."""
-    model = build_model(coords, conn, cfg)
+    # build the model with the superset of solver plans (chain ordering +
+    # tree schedule) so every swept combo finds what it needs, whatever
+    # the primary cfg uses
+    build_cfg = dataclasses.replace(cfg, operator="chain", precond="tree")
+    model = build_model(coords, conn, build_cfg)
     dtype = model.coords.dtype
 
     # one jitted solver per combo; physics advances with the primary cfg.

@@ -18,16 +18,16 @@ def test_sweep_schema_and_physics(tmp_path):
     cfg = FeaConfig(dtype="float64", n_steps=4, displacement_max=0.004)
     out_csv = str(tmp_path / "runtime_results.csv")
     rows = run_solver_sweep(sc.coords, sc.conn, cfg,
-                            solvers=("cg", "bicgstab"),
-                            pcs=("block_jacobi", "jacobi"),
-                            trials=2, out_csv=out_csv)
+                            trials=2, out_csv=out_csv)   # full 3x5 matrix
     df = pd.read_csv(out_csv)
     assert list(df.columns) == ["step", "solver", "pc", "trial",
                                 "runtime_ms"]
-    # 4 steps x 4 combos x 2 trials
-    assert len(df) == 4 * 4 * 2
+    # 4 steps x 15 combos x 2 trials (the reference's 3 KSP x 5 PC shape)
+    assert len(df) == 4 * 15 * 2
     assert (df["runtime_ms"] > 0).all()
-    assert set(df["solver"]) == {"cg", "bicgstab"}
+    assert set(df["solver"]) == {"cg", "bicgstab", "gmres"}
+    assert set(df["pc"]) == {"tree", "coarse", "block_jacobi", "jacobi",
+                             "none"}
 
 
 def test_cli_grow_then_fea(tmp_path):
