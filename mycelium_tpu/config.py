@@ -129,7 +129,13 @@ class FeaConfig:
                                        # solver path of the same numerics
     coarse_basis: str = "const"        # two-level PC coarse space per
                                        # 128-node cluster: 'const' |
-                                       # 'linear' (adds an in-chain ramp)
+                                       # 'linear' (adds an in-chain ramp).
+                                       # CAUTION: 'linear' doubles the
+                                       # coarse system; its dense on-device
+                                       # inverse (~4.7k x 4.7k at 1e5
+                                       # DOF) reproducibly crashed the
+                                       # axon TPU worker — use 'const'
+                                       # beyond ~3e4 nodes
     rtol: float = 1e-8                 # CG relative residual tolerance
     atol: float = 0.0
     max_iter: int = 20000
