@@ -40,8 +40,10 @@ PRESETS = {
         inoculum_nx=21, inoculum_ny=21,
         omega0=5e-6 * (441 / 25),
         max_segments=1 << 18, max_hyphae=1 << 17,
-        max_tips_per_cell=10,   # = h0_per_point (the co-located inoculum
-                                # tips); anastomosis cost scales with it
+        # keep the default per-cell tip cap (16): sizing it to the step-0
+        # worst case (h0_per_point=10) silently truncates cells where tips
+        # from neighboring sites converge mid-run; the dense-grid query now
+        # raises the overflow flag when that happens
     ),
     # 4,356 sites on a 33 mm dish -> ~1e6 segments at step 150 (the
     # SURVEY.md M4 scale target; fixed-capacity state at 2^21 slots)
@@ -50,7 +52,6 @@ PRESETS = {
         inoculum_nx=66, inoculum_ny=66,
         omega0=5e-6 * (4356 / 25),
         max_segments=1 << 21, max_hyphae=1 << 19,
-        max_tips_per_cell=10,
     ),
 }
 

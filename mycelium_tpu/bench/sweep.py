@@ -92,7 +92,15 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
         # advance physics with the primary configuration
         x0 = u_prev * (factor / prev_factor) \
             if (cfg.warm_start and prev_factor > 0) else zeros
-        u, _, active_new, _, _, _ = primary(active, x0, dy, -dy, anchored)
+        u, _, active_new, _, _, resnorm, converged = primary(
+            active, x0, dy, -dy, anchored)
+        if not bool(converged):
+            # the reference's sweep would abort via KSPGetConvergedReason;
+            # physics must not advance on a garbage solution
+            from ..fea.ramp import SolveDivergedError
+            raise SolveDivergedError(
+                f"primary solver diverged at sweep step {step + 1}: "
+                f"|r| = {float(resnorm):.3e}")
         active_new_np = np.asarray(active_new)
         if not np.array_equal(active_new_np, np.asarray(active)):
             anchored = jnp.asarray(anchored_mask_host(conn_np, active_new_np,

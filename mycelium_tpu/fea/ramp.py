@@ -90,7 +90,23 @@ def ramp_step(model: FeaModel, cfg: FeaConfig, active, x0, dy_top, dy_bot,
                              anchored)
     u = res.x                                            # (N,3)
     stress, active_new, total_force = post_solve(model, cfg, u, active)
-    return u, stress, active_new, total_force, res.iters, res.resnorm
+    return (u, stress, active_new, total_force, res.iters, res.resnorm,
+            res.converged)
+
+
+class SolveDivergedError(RuntimeError):
+    """A ramp solve failed to converge — the drivers refuse to record the
+    step, mirroring the reference's KSPGetConvergedReason abort
+    (src/fea_petsc.cpp:343-354) and LinAlgError catch
+    (src/fea_solver.py:250-254)."""
+
+
+def _check_converged(converged, step: int, resnorm) -> None:
+    if not bool(converged):
+        raise SolveDivergedError(
+            f"solver diverged at ramp step {step + 1}: "
+            f"|r| = {float(resnorm):.3e} after max_iter iterations "
+            "(reference aborts here, fea_petsc.cpp:343-354)")
 
 
 # the model is passed as a PYTREE ARGUMENT, never closed over: on the axon
@@ -148,11 +164,12 @@ def run_ramp(coords, conn, cfg: FeaConfig,
         else:
             x0 = jnp.zeros_like(u_prev)
         ts = time.time()
-        u, stress, active_new, total_force, iters, resnorm = step_jit(
-            active, x0, jnp.asarray(dy_top, dtype),
-            jnp.asarray(dy_bot, dtype), anchored)
+        u, stress, active_new, total_force, iters, resnorm, converged = \
+            step_jit(active, x0, jnp.asarray(dy_top, dtype),
+                     jnp.asarray(dy_bot, dtype), anchored)
         u.block_until_ready()
         solve_secs.append(time.time() - ts)
+        _check_converged(converged, step, resnorm)
 
         stress_rec.append(np.asarray(stress))
         active_rec.append(np.asarray(active_new))
@@ -195,8 +212,8 @@ def _scan_ramp(model: FeaModel, cfg: FeaConfig):
         scale = jnp.where(prev_factor > 0, factor
                           / jnp.where(prev_factor > 0, prev_factor, 1.0), 0.0)
         x0 = u_prev * scale if cfg.warm_start else jnp.zeros_like(u_prev)
-        u, stress, active_new, total_force, iters, _ = ramp_step(
-            model, cfg, active, x0, dy_top, -dy_top, anchored)
+        u, stress, active_new, total_force, iters, resnorm, converged = \
+            ramp_step(model, cfg, active, x0, dy_top, -dy_top, anchored)
         # refresh grip reachability only when fracture changed the topology
         if model.tree is not None:
             # tree-accelerated sweep: whole hyphae per fixpoint round
@@ -209,7 +226,8 @@ def _scan_ramp(model: FeaModel, cfg: FeaConfig):
             jnp.any(active_new != active), recompute, lambda: anchored)
         carry = (active_new, u, factor, anchored)
         return carry, (stress, active_new, u.reshape(-1),
-                       jnp.stack([2 * dy_top, total_force]), iters)
+                       jnp.stack([2 * dy_top, total_force]), iters,
+                       converged)
 
     all_active = jnp.ones((model.n_elems,), dtype=bool)
     if model.tree is not None:
@@ -232,9 +250,16 @@ def run_ramp_scan(coords, conn, cfg: FeaConfig,
     t0 = time.time()
     if model is None:
         model = build_model(coords, conn, cfg)
-    stress, active, disp, fd, iters = _scan_ramp(model, cfg)
+    stress, active, disp, fd, iters, converged = _scan_ramp(model, cfg)
     jax.block_until_ready(stress)
     total = time.time() - t0
+    conv_np = np.asarray(converged)
+    if not conv_np.all():
+        bad = int(np.nonzero(~conv_np)[0][0])
+        raise SolveDivergedError(
+            f"solver diverged at ramp step {bad + 1} "
+            f"({int((~conv_np).sum())} of {cfg.n_steps} steps failed); "
+            "no records written")
     return RampResult(
         stress_record=np.asarray(stress),
         active_record=np.asarray(active),
@@ -284,6 +309,7 @@ def run_ramp_sharded(coords, conn, cfg: FeaConfig, mesh,
         stress, active_new, total_force = jit_post_solve(
             model, cfg, res.x, active)
         solve_secs.append(time.time() - ts)
+        _check_converged(res.converged, step, res.resnorm)
 
         stress_rec.append(np.asarray(stress))
         active_rec.append(np.asarray(active_new))

@@ -42,7 +42,15 @@ def make_preconditioner(model: FeaModel, active: jnp.ndarray,
                         free_nodes: jnp.ndarray | None = None) -> Callable:
     if cfg.precond == "none":
         return lambda r: r
-    if cfg.precond == "coarse" and model.chain is not None:
+    if cfg.precond == "coarse":
+        if model.chain is None:
+            # mirror shard.py: the coarse clusters are 128 consecutive
+            # CHAIN positions — without the chain permutation they would
+            # be arbitrary node-id runs and the PC silently degrades to
+            # plain block-Jacobi
+            raise ValueError("precond='coarse' needs the chain node "
+                             "ordering; build the model with "
+                             "operator='chain'")
         return _coarse_preconditioner(model, active, cfg, free_nodes)
     if cfg.precond == "tree":
         from .tree_jax import tree_apply, tree_factor

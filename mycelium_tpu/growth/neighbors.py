@@ -65,6 +65,11 @@ def _bucket(ids, cell, n_cells, cap, sentinel):
     must be out of range for the ID SPACE of ``ids``, not their count).
 
     ``cell`` must be n_cells for invalid items (they drop out).
+
+    Returns (table, n_dropped): items past a cell's capacity are silently
+    absent from the table, so callers must surface ``n_dropped > 0`` (a
+    dense inoculum cluster or an undersized cap would otherwise lose
+    anastomosis candidates undetectably).
     """
     n = ids.shape[0]
     key = jnp.where(cell < n_cells, cell, n_cells)
@@ -76,11 +81,13 @@ def _bucket(ids, cell, n_cells, cap, sentinel):
     run_start = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
     first = jax.lax.cummax(jnp.where(run_start, pos, 0))
     rank = pos - first
-    valid = (sc < n_cells) & (rank < cap)
+    in_range = sc < n_cells
+    valid = in_range & (rank < cap)
+    n_dropped = jnp.sum(in_range & (rank >= cap))
     slot = jnp.where(valid, sc * cap + rank, n_cells * cap)
     tbl = jnp.full((n_cells * cap + 1,), sentinel, jnp.int32)
     tbl = tbl.at[slot].set(ids[order], mode="drop")
-    return tbl[:n_cells * cap].reshape(n_cells, cap)
+    return tbl[:n_cells * cap].reshape(n_cells, cap), n_dropped
 
 
 def point_segment_distance(p, a, b):
@@ -125,8 +132,8 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
     alive = st.state != EMPTY
     mid = (st.start + st.end) * 0.5
     seg_cell = jnp.where(alive, _cell_id(mid, cfg), m_cells)
-    seg_tbl = _bucket(jnp.arange(N, dtype=jnp.int32), seg_cell, m_cells, C,
-                      sentinel=N)
+    seg_tbl, seg_dropped = _bucket(jnp.arange(N, dtype=jnp.int32), seg_cell,
+                                   m_cells, C, sentinel=N)
     sgeo = jnp.concatenate([st.start, st.end], axis=1)        # (N, 6)
     sgeo_pad = jnp.concatenate([sgeo, jnp.zeros((1, 6), dtype)], axis=0)
 
@@ -153,20 +160,20 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
                 jnp.where(better[..., None], pmin, best_proj))
 
     if strategy == "grid":
-        # Tips bucketed onto the same grid; neighborhoods by rolling the
-        # SMALL tip table against the static segment table (rolling the
-        # segment table costs g*g*C*6 floats per offset — 9x64MB of pure
-        # relayout traffic at the large preset). The inner loop computes
-        # only squared distances with a fused min/argmin over candidates
-        # (materializing per-candidate projections cost 4x the traffic);
-        # the winning candidate's projection is recomputed once at the end.
+        # Tips are bucketed onto the same grid; per neighbor offset the
+        # SEGMENT grid (geometry + ids) is rolled against the static tip
+        # table. The inner loop scans the candidate axis in chunks with a
+        # carried fused min/argmin, computing only squared distances
+        # (materializing per-candidate projections would cost 4x the
+        # traffic); the winning candidate's projection is recomputed once
+        # at the end.
         GC = gz * C
         GT = gz * Ct
         seg_grid = sgeo_pad[seg_tbl].reshape(g, g, GC, 6)
         idx_grid = seg_tbl.reshape(g, g, GC)
         tip_cell = jnp.where(tip_ok, _cell_id(tip_end, cfg), m_cells)
-        tip_tbl = _bucket(t, tip_cell, m_cells, Ct,           # seg slot ids
-                          sentinel=N)
+        tip_tbl, tip_dropped = _bucket(t, tip_cell, m_cells, Ct,  # seg slots
+                                       sentinel=N)
         end_pad = jnp.concatenate([st.end, jnp.zeros((1, 3), dtype)],
                                   axis=0)
         tpos = end_pad[jnp.minimum(tip_tbl, N)].reshape(g, g, GT, 3)
@@ -231,6 +238,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         flat_d = jnp.sqrt(best_d2).reshape(-1)
         flat_proj = proj.reshape(-1, 3)
         snap = (flat_slot < N) & (flat_d <= cfg.anastomosis_tol)
+        n_dropped = seg_dropped + tip_dropped
     else:
         # per-tip windows gathered from the dense table (CPU-friendly)
         tbl_cols = seg_tbl.reshape(g * g, gz * C)
@@ -248,9 +256,13 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         flat_d = best[0]
         flat_proj = best[1]
         snap = tip_ok & (flat_d <= cfg.anastomosis_tol)
+        n_dropped = seg_dropped
 
     # ---- scatter snaps back to tip segment slots
     idx = jnp.where(snap, flat_slot, N)
     end = st.end.at[idx].set(flat_proj, mode="drop")
     state = st.state.at[idx].set(ANASTOMOSED, mode="drop")
-    return st._replace(end=end, state=state)
+    # cell-capacity overflow dropped candidates from the query: surface it
+    # through the same flag as slot-capacity exhaustion (drivers warn)
+    return st._replace(end=end, state=state,
+                       overflow=st.overflow | (n_dropped > 0))

@@ -174,7 +174,12 @@ def test_solve_matches_spsolve(scene_name, solver):
 @pytest.mark.parametrize("precond", ["block_jacobi", "jacobi", "none",
                                      "coarse"])
 def test_preconditioners_all_converge(precond):
-    cfg = archive_parity_config(precond=precond)
+    # 'coarse' requires the chain node ordering (spatially coherent
+    # clusters); with the default 'ell' operator it now raises instead of
+    # silently degrading to block-Jacobi
+    cfg = archive_parity_config(
+        precond=precond,
+        operator="chain" if precond == "coarse" else "ell")
     sc = scenes.test_X()
     model = build_model(sc.coords, sc.conn, cfg)
     active = jnp.ones((model.n_elems,), bool)
@@ -197,3 +202,19 @@ def test_solve_with_fractured_isolated_nodes():
     # free center node stays put; grips move
     assert abs(U[7, 1]) < 1e-12
     np.testing.assert_allclose(U[np.asarray(model.top_nodes), 1], 0.01)
+
+
+def test_ramp_refuses_diverged_solves():
+    """The drivers must abort instead of recording garbage when a solve
+    fails to converge (reference src/fea_petsc.cpp:343-354 aborts on
+    KSPGetConvergedReason; src/fea_solver.py:250-254 catches LinAlgError).
+    max_iter=1 at rtol=1e-14 cannot converge once dy > 0."""
+    from mycelium_tpu.fea.ramp import (SolveDivergedError, run_ramp,
+                                       run_ramp_scan)
+    cfg = archive_parity_config(max_iter=1, rtol=1e-14, precond="none",
+                                n_steps=4)
+    sc = scenes.test_X()
+    with pytest.raises(SolveDivergedError):
+        run_ramp(sc.coords, sc.conn, cfg)
+    with pytest.raises(SolveDivergedError):
+        run_ramp_scan(sc.coords, sc.conn, cfg)

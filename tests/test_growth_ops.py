@@ -312,3 +312,27 @@ def test_anastomosis_strategies_agree():
                                   np.asarray(out_g.state))
     np.testing.assert_allclose(np.asarray(out_w.end),
                                np.asarray(out_g.end), atol=1e-7)
+
+
+def test_anastomosis_cell_overflow_sets_flag():
+    """Overstuffing one grid cell past max_per_cell must raise the overflow
+    flag (dropped candidates were previously silent — VERDICT r1 weak #7)."""
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1,
+                       max_per_cell=4)
+    st, _ = build_chain(cfg, [1e-6, 1e-6])
+    start = np.array(st.start)
+    end = np.array(st.end)
+    state = np.array(st.state)
+    # 8 tiny passive segments, all midpoints inside one 0.1 mm cell
+    for i in range(8):
+        start[2 + i] = [1.01 + 1e-4 * i, 1.01, 0.0]
+        end[2 + i] = [1.02 + 1e-4 * i, 1.01, 0.0]
+        state[2 + i] = PASSIVE
+    st = st._replace(start=jnp.asarray(start), end=jnp.asarray(end),
+                     state=jnp.asarray(state),
+                     n_seg=jnp.asarray(10, jnp.int32))
+    assert not bool(st.overflow)
+    for strategy in ("window", "grid"):
+        out = detect_anastomosis(st, cfg, strategy=strategy)
+        assert bool(out.overflow), strategy
