@@ -95,7 +95,8 @@ def cmd_grow(args) -> str:
                                 initial_state=initial_state,
                                 checkpoint_path=ckpt_path,
                                 checkpoint_every=args.checkpoint_every)
-    write_growth_stats(out_dir, history)
+    write_growth_stats(out_dir, history,
+                       variant=getattr(args, "csv_variant", "python"))
     export_state_geometry(st, out_dir)
     save_run_configs(out_dir, growth=cfg)
     if not args.no_summary_plot:
@@ -140,10 +141,17 @@ def cmd_fea(args) -> str:
         from .fea.ramp import truncate_after_fracture
         res = truncate_after_fracture(run_ramp_scan(coords, conn, cfg))
     else:
-        res = run_ramp(coords, conn, cfg, verbose=args.verbose)
+        ckpt_every = getattr(args, "fea_checkpoint_every", 0)
+        ckpt_path = os.path.join(results_dir, "fea_checkpoint.npz") \
+            if ckpt_every else None
+        res = run_ramp(coords, conn, cfg, verbose=args.verbose,
+                       checkpoint_path=ckpt_path,
+                       checkpoint_every=ckpt_every,
+                       resume_from=getattr(args, "fea_resume", None))
     fea_dir = os.path.join(results_dir, "fea_results")
     write_fea_records(fea_dir, res.stress_record, res.active_record,
-                      res.disp_record, res.force_disp)
+                      res.disp_record, res.force_disp,
+                      variant=getattr(args, "csv_variant", "python"))
     write_solve_runtimes(fea_dir, res.solve_seconds)
     write_runtime(fea_dir, time.time() - t0)
     save_run_configs(results_dir, fea=cfg)
@@ -236,6 +244,12 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--resume", default=None,
                        help="resume growth from a checkpoint npz")
         g.add_argument("--no-summary-plot", action="store_true")
+        g.add_argument("--csv-variant", choices=["python", "cpp"],
+                       default="python",
+                       help="CSV dialect: 'python' (step-last stats, "
+                            "True/False actives) or 'cpp' (step-first "
+                            "stats, 1/0 actives — the reference C++ "
+                            "binaries' contract)")
         g.add_argument("--verbose", action="store_true")
 
     def add_fea_args(g, positional=True):
@@ -247,7 +261,16 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--grip", type=float, default=None)
         g.add_argument("--disp-max", type=float, default=None)
         g.add_argument("--f64", action="store_true")
+        g.add_argument("--fea-checkpoint-every", type=int, default=0,
+                       help="save fea_checkpoint.npz every N ramp steps "
+                            "(loop driver only)")
+        g.add_argument("--fea-resume", default=None,
+                       help="resume the ramp from a checkpoint npz")
         g.add_argument("--no-plots", action="store_true")
+        if positional:
+            g.add_argument("--csv-variant", choices=["python", "cpp"],
+                           default="python",
+                           help="CSV dialect (see grow --csv-variant)")
         g.add_argument("--preset", choices=["fast", "reference"],
                        default="fast",
                        help="solver preset: 'fast' = chain operator + tree "

@@ -133,7 +133,15 @@ jit_post_solve = jax.jit(post_solve, static_argnums=(1,))
 
 def run_ramp(coords, conn, cfg: FeaConfig,
              model: Optional[FeaModel] = None,
-             verbose: bool = False) -> RampResult:
+             verbose: bool = False,
+             checkpoint_path: Optional[str] = None,
+             checkpoint_every: int = 0,
+             resume_from: Optional[str] = None) -> RampResult:
+    """Python-loop ramp driver. ``checkpoint_path``/``checkpoint_every``
+    save the resumable mid-ramp state (active mask, last displacement,
+    accumulated records) every N steps; ``resume_from`` continues an
+    interrupted ramp bit-identically (closing the reference's §5.4 gap —
+    a killed SLURM job there is simply re-run from scratch)."""
     t0 = time.time()
     if model is None:
         model = build_model(coords, conn, cfg)
@@ -144,17 +152,45 @@ def run_ramp(coords, conn, cfg: FeaConfig,
 
     conn_np = np.asarray(model.conn)
     grip_np = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))
-    active_np = np.ones(model.n_elems, dtype=bool)
-    anchored = jnp.asarray(anchored_mask_host(conn_np, active_np, grip_np))
 
+    start_step = 0
     active = jnp.ones((model.n_elems,), dtype=bool)
     u_prev = jnp.zeros((model.n_nodes, 3), dtype=dtype)
     prev_factor = 0.0
-
     stress_rec, active_rec, disp_rec, fd_rec = [], [], [], []
     solve_secs, iters_rec = [], []
+    if resume_from is not None:
+        from ..io.checkpoint import load_ramp_state
+        start_step, active_np_in, u_prev_np, recs = \
+            load_ramp_state(resume_from)
+        active = jnp.asarray(active_np_in)
+        u_prev = jnp.asarray(u_prev_np, dtype=dtype)
+        # the previous step ran at factor (start_step-1)/(n_steps-1)
+        prev_factor = (start_step - 1) / (cfg.n_steps - 1) \
+            if start_step > 0 else 0.0
+        stress_rec = list(recs["stress"])
+        active_rec = list(recs["active"])
+        disp_rec = list(recs["disp"])
+        fd_rec = [list(r) for r in recs["fd"]]
+        solve_secs = list(recs["solve_secs"])
+        iters_rec = [int(i) for i in recs["iters"]]
 
-    for step in range(cfg.n_steps):
+    anchored = jnp.asarray(anchored_mask_host(
+        conn_np, np.asarray(active), grip_np))
+
+    def _save_checkpoint(next_step):
+        from ..io.checkpoint import save_ramp_state
+        save_ramp_state(
+            checkpoint_path, next_step, np.asarray(active),
+            np.asarray(u_prev),
+            records=dict(stress=np.stack(stress_rec),
+                         active=np.stack(active_rec),
+                         disp=np.stack(disp_rec),
+                         fd=np.asarray(fd_rec, dtype=np.float64),
+                         solve_secs=np.asarray(solve_secs),
+                         iters=np.asarray(iters_rec, dtype=np.int64)))
+
+    for step in range(start_step, cfg.n_steps):
         dy_top, dy_bot = _step_factors(cfg, step)
         # warm start: scale the previous solution by the ramp ratio (the
         # response is linear between fracture events)
@@ -187,6 +223,9 @@ def run_ramp(coords, conn, cfg: FeaConfig,
             anchored = jnp.asarray(
                 anchored_mask_host(conn_np, active_new_np, grip_np))
         u_prev, active, prev_factor = u, active_new, factor
+        if checkpoint_path is not None and checkpoint_every > 0 \
+                and (step + 1 - start_step) % checkpoint_every == 0:
+            _save_checkpoint(step + 1)
         if int(active_new_np.sum()) == 0:
             break  # early stop on full fracture (fea_solver.py:293-295)
 

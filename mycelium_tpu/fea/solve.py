@@ -28,7 +28,8 @@ from .model import FeaModel, diag_blocks, invert_blocks
 
 class SolveResult(NamedTuple):
     x: jnp.ndarray          # (N,3) solution
-    iters: jnp.ndarray      # () int32
+    iters: jnp.ndarray      # () int32 — -1 when the backend does not
+                            # expose a count (gmres; see gmres())
     resnorm: jnp.ndarray    # () final |r|
     converged: jnp.ndarray  # () bool
 
@@ -279,11 +280,16 @@ def gmres(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
                   M=precond, solve_method="batched")
     r = b - operator(x)
     rnorm = jnp.sqrt(_dot(r, r))
-    # floor the convergence check at roundoff of the full RHS: a zero
-    # condensed RHS (all-gripped/zero-dy systems) makes tol exactly 0,
-    # which the recomputed residual can miss by ~1e-24 of fp noise
+    # zero-RHS guard ONLY: an all-gripped/zero-dy system has condensed
+    # bnorm == 0, so tol == atol (often 0) and the recomputed residual can
+    # miss it by ~1e-24 of fp noise. For any genuinely nonzero RHS the
+    # caller's rtol·bnorm stands un-floored (a 64·eps floor on the FULL b
+    # previously reported f32 solves converged at ~8e-6 relative residual
+    # even when cfg.rtol demanded tighter).
     eps = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
-    floor = 64.0 * eps * jnp.sqrt(_dot(b, b))
+    floor = jnp.where(bnorm <= eps * jnp.sqrt(_dot(b, b)),
+                      64.0 * eps * jnp.sqrt(_dot(b, b)),
+                      jnp.zeros_like(bnorm))
     return SolveResult(x=x, iters=jnp.asarray(-1, jnp.int32),
                        resnorm=rnorm,
                        converged=rnorm <= jnp.maximum(tol, floor))

@@ -31,19 +31,28 @@ def _write_csv(path: str, header: Sequence[str], rows: np.ndarray,
             f.write(",".join(fmt(v) for v in row) + "\n")
 
 
-def write_growth_stats(out_dir: str, history: List[Dict]) -> str:
-    """mycelium_growth_stats.csv with the Python variant's column order
-    (hyphae,...,total_length_mm,step — mycelium_sim_2D.py:233-241,686)."""
+def write_growth_stats(out_dir: str, history: List[Dict],
+                       variant: str = "python") -> str:
+    """mycelium_growth_stats.csv.
+
+    variant='python': column order hyphae,...,total_length_mm,step
+    (mycelium_sim_2D.py:233-241,686); variant='cpp': step FIRST and 6-
+    significant-digit lengths, matching the C++ growth sim's contract
+    (mycelium_sim_2D.cpp:559,571 — both variants exist in the reference
+    archive, e.g. sim_20251122_155110 vs sim_20251117_181147)."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "mycelium_growth_stats.csv")
+    if variant == "cpp":
+        cols = ["step"] + [c for c in GROWTH_STATS_COLUMNS if c != "step"]
+        fmt_len = lambda v: f"{float(v):.6g}"  # noqa: E731 — ostream default
+    else:
+        cols = GROWTH_STATS_COLUMNS
+        fmt_len = lambda v: repr(float(v))  # noqa: E731
     with open(path, "w") as f:
-        f.write(",".join(GROWTH_STATS_COLUMNS) + "\n")
+        f.write(",".join(cols) + "\n")
         for st in history:
-            vals = [st[c] for c in GROWTH_STATS_COLUMNS]
-            f.write(",".join(str(int(v)) if c != "total_length_mm"
-                             else repr(float(v))
-                             for c, v in zip(GROWTH_STATS_COLUMNS, vals))
-                    + "\n")
+            f.write(",".join(str(int(st[c])) if c != "total_length_mm"
+                             else fmt_len(st[c]) for c in cols) + "\n")
     return path
 
 
@@ -109,39 +118,59 @@ def write_snapshot_csv(snapshot_dir: str, step: int, starts: np.ndarray,
 
 def write_fea_records(fea_dir: str, stress_record: np.ndarray,
                       active_record: np.ndarray, disp_record: np.ndarray,
-                      force_disp: np.ndarray) -> None:
-    """The four FEA record CSVs (fea_solver.py:297-316).
+                      force_disp: np.ndarray,
+                      variant: str = "python") -> None:
+    """The four FEA record CSVs.
 
     stress_record: (n_rec, n_elems); active_record: (n_rec, n_elems) bool;
     disp_record: (n_rec, n_dof); force_disp: (n_rec, 2).
+
+    variant='python' (fea_solver.py:297-316): True/False actives, numeric
+    0..n_dof-1 displacement columns, repr floats.
+    variant='cpp' (fea_petsc.cpp:433-516): 1/0 actives
+    (fea_petsc.cpp:457-474), node_i_x.. grouped-by-component displacement
+    HEADERS over data that stays in DOF order — the reference C++ header is
+    mislabeled relative to its data (fea_petsc.cpp:477-505 and SURVEY.md
+    §2.3) and we reproduce that faithfully — and 12-significant-digit
+    values (setprecision(12), fea_petsc.cpp:449,500,513).
     """
     os.makedirs(fea_dir, exist_ok=True)
     n_rec, n_elems = stress_record.shape
     steps = np.arange(1, n_rec + 1)
+    cpp = variant == "cpp"
+    fv = (lambda v: f"{float(v):.12g}") if cpp else (lambda v: repr(float(v)))
 
     elem_cols = [f"elem_{i}" for i in range(n_elems)]
     with open(os.path.join(fea_dir, "stress_record.csv"), "w") as f:
         f.write(",".join(elem_cols + ["step"]) + "\n")
         for r, s in zip(stress_record, steps):
-            f.write(",".join(repr(float(v)) for v in r) + f",{s}\n")
+            f.write(",".join(fv(v) for v in r) + f",{s}\n")
 
-    # Python variant writes True/False (fea_solver.py:302-304)
     with open(os.path.join(fea_dir, "active_elements.csv"), "w") as f:
         f.write(",".join(elem_cols + ["step"]) + "\n")
         for r, s in zip(active_record, steps):
-            f.write(",".join("True" if v else "False" for v in r) + f",{s}\n")
+            if cpp:
+                f.write(",".join("1" if v else "0" for v in r) + f",{s}\n")
+            else:
+                f.write(",".join("True" if v else "False" for v in r)
+                        + f",{s}\n")
 
-    # Numeric DOF-order columns 0..n_dof-1 (fea_solver.py:307-312)
     n_dof = disp_record.shape[1]
+    if cpp:
+        n_nodes = n_dof // 3
+        disp_cols = [f"node_{i}_{ax}" for ax in ("x", "y", "z")
+                     for i in range(n_nodes)]
+    else:
+        disp_cols = [str(i) for i in range(n_dof)]
     with open(os.path.join(fea_dir, "node_displacements.csv"), "w") as f:
-        f.write(",".join(str(i) for i in range(n_dof)) + ",step\n")
+        f.write(",".join(disp_cols) + ",step\n")
         for r, s in zip(disp_record, steps):
-            f.write(",".join(repr(float(v)) for v in r) + f",{s}\n")
+            f.write(",".join(fv(v) for v in r) + f",{s}\n")
 
     with open(os.path.join(fea_dir, "force_displacement.csv"), "w") as f:
         f.write("total_displacement,total_force\n")
         for d, force in force_disp:
-            f.write(f"{float(d)!r},{float(force)!r}\n")
+            f.write(f"{fv(d)},{fv(force)}\n")
 
 
 def write_runtime(fea_dir: str, seconds: float) -> None:
@@ -161,10 +190,21 @@ def write_solve_runtimes(fea_dir: str, per_step_seconds: Sequence[float]
             f.write(f"{i + 1}, {t:.6f}\n")
 
 
+# our PC vocabulary -> the closest reference PETSc PC
+# (src/fea_petsc_solverAndPC.cpp:223): tree is the factorization-grade PC
+# (icc), coarse the two-level/multigrid one (gamg), block_jacobi the
+# block-relaxation one (sor)
+PC_REF_ALIASES = {"tree": "icc", "coarse": "gamg", "block_jacobi": "sor",
+                  "jacobi": "jacobi", "none": "none"}
+
+
 def write_sweep_results(path: str, rows: List[tuple]) -> None:
     """runtime_results.csv: step,solver,pc,trial,runtime_ms
-    (fea_petsc_solverAndPC.cpp:221-223,371-375)."""
+    (fea_petsc_solverAndPC.cpp:221-223,371-375) plus a trailing pc_ref
+    alias column mapping our PC names onto the reference's vocabulary so
+    the two CSVs diff on common terms."""
     with open(path, "w") as f:
-        f.write("step,solver,pc,trial,runtime_ms\n")
+        f.write("step,solver,pc,trial,runtime_ms,pc_ref\n")
         for step, solver, pc, trial, ms in rows:
-            f.write(f"{step},{solver},{pc},{trial},{ms:.6f}\n")
+            ref = PC_REF_ALIASES.get(pc, pc)
+            f.write(f"{step},{solver},{pc},{trial},{ms:.6f},{ref}\n")

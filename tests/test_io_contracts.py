@@ -105,7 +105,10 @@ def test_sweep_results_schema(tmp_path):
     write_sweep_results(path, [(0, "cg", "block_jacobi", 0, 1.5)])
     df = pd.read_csv(path)
     assert list(df.columns) == ["step", "solver", "pc", "trial",
-                                "runtime_ms"]
+                                "runtime_ms", "pc_ref"]
+    # the alias column maps our PC vocabulary onto the reference's
+    # (fea_petsc_solverAndPC.cpp:223)
+    assert df.iloc[0]["pc_ref"] == "sor"
 
 
 def test_reader_skips_out_of_range_elements(tmp_path, ref_results):
@@ -166,3 +169,39 @@ def test_native_spanning_forest_matches_python_oracle():
     np.testing.assert_array_equal(f_native, f_py)
     # a forest over one connected component has n-1 edges
     assert f_native.sum() <= nn - 1
+
+
+def test_growth_stats_cpp_variant(tmp_path):
+    """C++ growth sim puts step FIRST (mycelium_sim_2D.cpp:559,571) —
+    header must byte-match the archived C++ run."""
+    hist = [dict(hyphae=373, segments=623, active_tips=343,
+                 passive_tips=250, anastomosed=30, branches=348,
+                 total_length_mm=31.148600123, step=0)]
+    path = write_growth_stats(str(tmp_path), hist, variant="cpp")
+    lines = open(path).read().splitlines()
+    ref_header = open("/root/reference/results/sim_20251122_155110/"
+                      "mycelium_growth_stats.csv").readline().strip()
+    assert lines[0] == ref_header
+    assert lines[1] == "0,373,623,343,250,30,348,31.1486"
+
+
+def test_fea_records_cpp_variant(tmp_path):
+    """C++ FEA writers: 1/0 actives (fea_petsc.cpp:457-474) and the
+    component-grouped node_i_x.. displacement header over DOF-ordered data
+    (fea_petsc.cpp:477-505 — mislabeled in the reference, reproduced
+    faithfully)."""
+    n_rec, n_elems, n_nodes = 2, 3, 4
+    rng = np.random.default_rng(1)
+    write_fea_records(str(tmp_path),
+                      rng.normal(size=(n_rec, n_elems)),
+                      rng.random((n_rec, n_elems)) > 0.5,
+                      rng.normal(size=(n_rec, 3 * n_nodes)),
+                      rng.normal(size=(n_rec, 2)),
+                      variant="cpp")
+    active = open(tmp_path / "active_elements.csv").read().splitlines()
+    assert set(active[1].split(",")[:-1]) <= {"0", "1"}
+    disp_header = open(tmp_path / "node_displacements.csv"
+                       ).readline().strip()
+    ref_header = open("/root/reference/results/test_I_cpp/fea_results/"
+                      "node_displacements.csv").readline().strip()
+    assert disp_header == ref_header

@@ -21,7 +21,7 @@ def test_sweep_schema_and_physics(tmp_path):
                             trials=2, out_csv=out_csv)   # full 3x5 matrix
     df = pd.read_csv(out_csv)
     assert list(df.columns) == ["step", "solver", "pc", "trial",
-                                "runtime_ms"]
+                                "runtime_ms", "pc_ref"]
     # 4 steps x 15 combos x 2 trials (the reference's 3 KSP x 5 PC shape)
     assert len(df) == 4 * 15 * 2
     assert (df["runtime_ms"] > 0).all()
