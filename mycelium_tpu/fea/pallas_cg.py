@@ -339,7 +339,7 @@ def _ramp_weight(pos_in_cluster):
         / (BLOCK / 2)
 
 
-def _coarse_inverse(model, plan, active, free, cfg, nb, pos=None):
+def _coarse_inverse(model, plan, active, free, cfg, nb):
     """Galerkin coarse operator for the two-level preconditioner.
 
     Clusters = 128 consecutive chain-ordered nodes (one row of the plane
@@ -351,17 +351,17 @@ def _coarse_inverse(model, plan, active, free, cfg, nb, pos=None):
     P·K·P + reg·P, symmetrically normalized, and densely inverted
     (6·NB is ~400 at 1e5 DOF — trivial).
 
-    ``pos`` overrides the node-position array defining the clusters
-    (default: the chain permutation; the sharded path passes original
-    node order)."""
+    Clusters are ALWAYS defined by chain position (plan.inv_perm): every
+    caller — node-space, chain-space and sharded — restricts per-cluster
+    in chain order, and a different position array here would desynchronize
+    the coarse operator from their cluster restriction."""
     from .elements import element_stiffness_batch
     f32 = jnp.float32
     conn = model.conn
     nc3 = 3 * nb
     nc = (2 if cfg.coarse_basis == "linear" else 1) * nc3
     n_basis = 2 if cfg.coarse_basis == "linear" else 1
-    if pos is None:
-        pos = plan.inv_perm                          # (N,) chain position
+    pos = plan.inv_perm                              # (N,) chain position
     cl = pos // BLOCK                                # (N,) cluster ids
     ramp = _ramp_weight(pos % BLOCK)                 # (N,)
     ke = element_stiffness_batch(model.geom).astype(f32)      # (E,6,6)
