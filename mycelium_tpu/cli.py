@@ -95,13 +95,15 @@ def cmd_grow(args) -> str:
                                 initial_state=initial_state,
                                 checkpoint_path=ckpt_path,
                                 checkpoint_every=args.checkpoint_every)
-    write_growth_stats(out_dir, history,
-                       variant=getattr(args, "csv_variant", "python"))
-    export_state_geometry(st, out_dir)
-    save_run_configs(out_dir, growth=cfg)
-    if not args.no_summary_plot:
-        from .viz import plot_growth_summary
-        plot_growth_summary(history, out_dir)
+    from .utils.dist import is_coordinator
+    if is_coordinator():
+        write_growth_stats(out_dir, history,
+                           variant=getattr(args, "csv_variant", "python"))
+        export_state_geometry(st, out_dir)
+        save_run_configs(out_dir, growth=cfg)
+        if not args.no_summary_plot:
+            from .viz import plot_growth_summary
+            plot_growth_summary(history, out_dir)
     final = history[-1]
     print(f"done: {final['hyphae']} hyphae, {final['segments']} segments, "
           f"{final['total_length_mm']:.1f} mm")
@@ -149,14 +151,16 @@ def cmd_fea(args) -> str:
                        checkpoint_every=ckpt_every,
                        resume_from=getattr(args, "fea_resume", None))
     fea_dir = os.path.join(results_dir, "fea_results")
-    write_fea_records(fea_dir, res.stress_record, res.active_record,
-                      res.disp_record, res.force_disp,
-                      variant=getattr(args, "csv_variant", "python"))
-    write_solve_runtimes(fea_dir, res.solve_seconds)
-    write_runtime(fea_dir, time.time() - t0)
-    save_run_configs(results_dir, fea=cfg)
+    from .utils.dist import is_coordinator
+    if is_coordinator():
+        write_fea_records(fea_dir, res.stress_record, res.active_record,
+                          res.disp_record, res.force_disp,
+                          variant=getattr(args, "csv_variant", "python"))
+        write_solve_runtimes(fea_dir, res.solve_seconds)
+        write_runtime(fea_dir, time.time() - t0)
+        save_run_configs(results_dir, fea=cfg)
 
-    if not args.no_plots:
+    if not args.no_plots and is_coordinator():
         from .viz import plot_force_displacement, plot_network
         plot_force_displacement(res.force_disp,
                                 os.path.join(fea_dir,
@@ -227,6 +231,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mycelium_tpu",
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process run: call jax.distributed.initialize "
+                        "before any computation (coordinator/process id "
+                        "from JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID, or auto-discovered on TPU pods); "
+                        "result files are written by process 0 only — the "
+                        "mpirun -np N role of the reference parallel "
+                        "binary, without its every-rank-writes bug")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_grow_args(g):
@@ -312,6 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "distributed", False):
+        from .utils.dist import initialize_distributed
+        initialize_distributed()   # must precede the first computation
     from .utils import enable_compilation_cache
     enable_compilation_cache()
     args.fn(args)

@@ -31,6 +31,9 @@ _GROWTH_FIELDS = [f for f in GrowthState._fields]
 
 
 def save_growth_state(path: str, st: GrowthState) -> str:
+    from ..utils.dist import is_coordinator
+    if not is_coordinator():   # one writer per cluster (utils/dist.py)
+        return path
     host = {k: np.asarray(v) for k, v in
             zip(GrowthState._fields, jax.device_get(tuple(st)))}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -55,6 +58,9 @@ def load_growth_state(path: str) -> GrowthState:
 
 def save_ramp_state(path: str, step: int, active, u_prev,
                     records: Optional[dict] = None) -> str:
+    from ..utils.dist import is_coordinator
+    if not is_coordinator():   # one writer per cluster (utils/dist.py)
+        return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "step": np.asarray(step),

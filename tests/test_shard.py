@@ -120,3 +120,51 @@ def test_sharded_coarse_preconditioner(growth_mesh, basis):
     # same PC => same Krylov path up to float associativity
     assert abs(int(tl.iters) - int(ref.iters)) <= max(
         5, int(0.2 * int(ref.iters))), (int(tl.iters), int(ref.iters))
+
+
+def test_growth_trajectory_matches_single_device():
+    """Growth is data-parallel over segment slots: a GSPMD run with state
+    arrays sharded across all 8 devices must reproduce the single-device
+    trajectory BIT-FOR-BIT over 10 steps (same program, same threefry
+    keys; only the layout differs). This is the growth half of the
+    reference's mpirun -np 1 vs -np 4 contract (SURVEY.md §4.4)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mycelium_tpu.config import GrowthConfig
+    from mycelium_tpu.growth import init_state
+    from mycelium_tpu.growth.step import growth_step
+
+    cfg = GrowthConfig(t_steps=10, max_segments=512, max_hyphae=256,
+                       h0_per_point=2, inoculum_nx=2, inoculum_ny=2,
+                       max_per_cell=8, dtype="float32")
+    st1, ea = init_state(cfg)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("shard",))
+    seg_sharding = NamedSharding(mesh, P("shard"))
+    rep = NamedSharding(mesh, P())
+
+    def shard_state(s):
+        def place(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and \
+                    x.shape[0] == cfg.max_segments:
+                return jax.device_put(x, seg_sharding)
+            return jax.device_put(x, rep)
+        return jax.tree_util.tree_map(place, s)
+
+    stN = shard_state(st1)
+    for _ in range(10):
+        st1 = growth_step(st1, ea, cfg)
+        stN = growth_step(stN, ea, cfg)
+
+    for name, a, b in zip(st1._fields, st1, stN):
+        if name in ("sub", "env_e"):
+            # substrate accumulators go through cross-slot reductions
+            # (translocation sums, the uptake cumprod/cumsum) whose GSPMD
+            # partials reassociate across shards: tolerance-equal
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-12,
+                                       err_msg=f"field {name} diverged")
+        else:
+            # geometry, states, ids, keys, counters: bit-equal
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"field {name} diverged "
+                                                  "between 1-dev and 8-dev")
