@@ -124,12 +124,19 @@ def main():
         times.append((time.perf_counter() - t0) * 1e3 / n_chain)
     value = float(np.median(times))
 
-    print(json.dumps({
+    from mycelium_tpu.bench.roofline import roofline_row
+    row = {
         "metric": "pcg_cold_solve_22125dof_median",
         "value": round(value, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / value, 2),
-    }))
+    }
+    # bytes-moved / achieved-bandwidth accounting (bench/roofline.py):
+    # the whole-solve kernel is VMEM-resident, so achieved_gbps above the
+    # HBM peak measures how much streaming bandwidth it replaces
+    row.update(roofline_row(model, int(np.asarray(iters)[-1]),
+                            value / 1e3))
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

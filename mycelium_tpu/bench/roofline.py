@@ -1,0 +1,91 @@
+"""Algorithmic traffic model + roofline accounting for the solver benches.
+
+Sparse preconditioned CG does ~0 useful FLOPs per byte, so MFU is the
+wrong lens; the honest hardware-limit metric is achieved memory bandwidth
+against the chip's peak (VERDICT r1 weak #9). This module computes the
+MINIMUM bytes a solve must move through the memory system given the
+mesh's actual plan shapes:
+
+- per-iteration traffic: one operator apply (chain shifts + jump one-hot
+  tables), one tree-PC apply (PCR coefficient planes, forward + backward),
+  and the CG vector updates;
+- per-solve setup traffic: the numeric factorization's coefficient writes
+  and the one-time table load.
+
+For the whole-solve Pallas kernel everything after the initial HBM load is
+VMEM-resident, so ``achieved_gbps`` computed against this model can exceed
+the HBM peak — that surplus IS the point of the kernel (it reports how
+much bandwidth an HBM-streaming implementation would have needed). For the
+XLA fallback path every op round-trips HBM, so its achieved_gbps reads
+directly against ``V5E_HBM_PEAK_GBPS``.
+"""
+
+from __future__ import annotations
+
+V5E_HBM_PEAK_GBPS = 819.0   # TPU v5e HBM peak bandwidth (public spec)
+
+
+def solver_traffic_bytes(model, iters: int, dtype_bytes: int = 4) -> dict:
+    """Bytes-moved model for one cold solve on ``model`` (FeaModel).
+
+    Returns a dict with per-iteration and per-solve totals. Uses the
+    actual packed table shapes when the chain/tree plans exist, else the
+    ELL layout.
+    """
+    n = model.n_nodes
+    vec = 3 * n * dtype_bytes                     # one (N,3) vector
+
+    # ---- operator apply ----
+    if model.chain is not None:
+        plan = model.chain
+        jp = int(plan.a_blk.shape[0])
+        nbc = int(plan.a_blk.shape[1])
+        # chain part: u in, 3 coefficient planes + mask, f out
+        op = 6 * vec
+        # jump part: stacked a/b one-hot tables (bf16) + per-jump scalars
+        op += 2 * jp * (nbc + 128) * 2 + jp * 5 * dtype_bytes
+    else:
+        deg = int(model.incident.shape[1])
+        # ELL: per-element forces + (N, deg) gather tables + signs
+        op = (2 * model.n_elems * 3 + 2 * n * deg + 4 * n) * dtype_bytes
+
+    # ---- preconditioner apply (tree PCR) ----
+    pc = 0
+    setup = 0
+    if model.tree is not None:
+        meta = model.tree.meta
+        S = int(model.tree.n_slots)
+        P = int(model.tree.n_paths)
+        r9S = sum(meta.level_steps[i]
+                  * (meta.level_offsets[i + 1] - meta.level_offsets[i])
+                  for i in range(len(meta.level_steps))) * 9 * dtype_bytes
+        # forward + backward each read every level's (alpha, beta) once,
+        # plus dinv and the attachment couplings
+        pc = 2 * (2 * r9S + 9 * S * dtype_bytes) \
+            + 4 * P * 9 * dtype_bytes + 4 * vec
+        # factorization: coefficient recurrence writes alpha/beta once and
+        # streams D/L/R ~3x per round
+        setup = 2 * r9S + 3 * 2 * r9S + 18 * S * dtype_bytes
+    elif True:
+        pc = 2 * vec + 9 * n * dtype_bytes        # block-Jacobi
+
+    # ---- CG vector updates: x,r,z,p,ap reads/writes per iteration ----
+    cg_vec = 10 * vec
+
+    per_iter = op + pc + cg_vec
+    total = setup + iters * per_iter + 4 * vec    # + b/x0/uk/x out
+    return {"bytes_per_iter": per_iter, "setup_bytes": setup,
+            "bytes_total": total}
+
+
+def roofline_row(model, iters: int, solve_seconds: float,
+                 dtype_bytes: int = 4) -> dict:
+    """achieved_gbps / roofline_frac fields for a bench JSON row."""
+    t = solver_traffic_bytes(model, iters, dtype_bytes)
+    gbps = t["bytes_total"] / max(solve_seconds, 1e-12) / 1e9
+    return {
+        "bytes_per_iter": int(t["bytes_per_iter"]),
+        "bytes_total": int(t["bytes_total"]),
+        "achieved_gbps": round(gbps, 1),
+        "roofline_frac": round(gbps / V5E_HBM_PEAK_GBPS, 3),
+    }

@@ -37,14 +37,20 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
     for n_target in n_nodes_list:
         coords, conn = synthetic_mesh(n_target)
         n_dof = 3 * coords.shape[0]
+        # grip 30% of the extent per side, the reference workload's
+        # fraction (GRIP_LENGTH=1.5 on the 5 mm dish): a sliver-gripped
+        # random tree is floppy enough that soft bending modes
+        # (~k_bd/(path len)^4) sink below any PC floor and f32 CG stalls
+        # on conditioning, which benchmarks precision, not speed
+        ext = float(coords[:, 1].max() - coords[:, 1].min())
         # build_model gates the Pallas tables on cfg.pallas_vmem_limit_mb
         # and falls back to the XLA path of the same numerics when the
-        # slot<->chain one-hots outgrow VMEM (pallas_tree.py estimator)
+        # tables outgrow VMEM (pallas_tree.py estimator)
         cfg = FeaConfig(dtype="float32", rtol=rtol, warm_start=False,
                         operator="chain",
                         use_pallas=jax.default_backend() != "cpu",
                         precond="tree", tree_coarse_weight=0.25,
-                        grip_length=0.1)
+                        grip_length=0.3 * ext)
         t0 = time.time()
         model = build_model(coords, conn, cfg)
         build_s = time.time() - t0
@@ -81,6 +87,8 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
             "pallas": use_pallas,
             "plan_build_s": round(build_s, 2),
         }
+        from .roofline import roofline_row
+        row.update(roofline_row(model, row["cg_iters"], per_solve))
         results.append(row)
         print(json.dumps(row), flush=True)
     return results

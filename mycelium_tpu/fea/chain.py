@@ -123,7 +123,8 @@ def greedy_path_cover(conn: np.ndarray, n_nodes: int) -> np.ndarray:
 def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
                      geom_n: np.ndarray, k_ax: np.ndarray,
                      k_bd: np.ndarray, dtype,
-                     host_out: dict | None = None) -> ChainPlan:
+                     host_out: dict | None = None,
+                     perm: np.ndarray | None = None) -> ChainPlan:
     """Classify edges as chain (consecutive after permutation) or jump and
     build the one-hot jump tables. All inputs are host numpy in ORIGINAL
     node numbering; geometry is the factored element data.
@@ -131,10 +132,20 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
     ``host_out``, if given, receives the numpy versions of the plan tables
     so downstream packers never fetch them back from the device (a 2-D
     device->host fetch costs ~60-90s per array shape through the axon
-    tunnel — the dominant cold-build cost before this existed)."""
+    tunnel — the dominant cold-build cost before this existed).
+
+    ``perm`` imposes a node ordering instead of the greedy path cover —
+    used by the unified tree/chain layout (model.py): ordering nodes by
+    the tree schedule's slot order makes the whole-solve kernel's
+    slot<->chain transforms FREE (slices instead of n_slots x n_nodes
+    one-hot tables), at the cost of somewhat more jump edges."""
     n_nodes = coords.shape[0]
     n_elems = conn.shape[0]
-    perm = greedy_path_cover(conn, n_nodes)
+    if perm is None:
+        perm = greedy_path_cover(conn, n_nodes)
+    else:
+        perm = np.asarray(perm, np.int64)
+        assert perm.shape == (n_nodes,)
     inv = np.empty(n_nodes, dtype=np.int64)
     inv[perm] = np.arange(n_nodes)
 

@@ -90,6 +90,30 @@ def _build_incidence(conn: np.ndarray, n_nodes: int):
     return incident, sign, neighbor
 
 
+def _unified_order(schedule, n_nodes: int) -> np.ndarray:
+    """Node ordering for the unified tree/chain layout: tree-schedule slots
+    first (level by level, path by path — so slot s sits at chain position
+    s), then the remaining (gripped) nodes along a greedy path cover of
+    their induced subgraph (keeps grip-grip edges as cheap shift edges).
+    """
+    from .chain import greedy_path_cover
+    slots = (np.concatenate([lv.slots for lv in schedule.levels])
+             if schedule.levels else np.zeros((0,), np.int64)).astype(np.int64)
+    in_slot = np.zeros(n_nodes, bool)
+    in_slot[slots] = True
+    rest = np.nonzero(~in_slot)[0]
+    if len(rest):
+        remap = np.full(n_nodes, -1, np.int64)
+        remap[rest] = np.arange(len(rest))
+        conn = np.asarray(schedule.conn, np.int64)
+        gg = conn[~in_slot[conn[:, 0]] & ~in_slot[conn[:, 1]]]
+        if len(gg):
+            sub_perm = greedy_path_cover(remap[gg].astype(np.int32),
+                                         len(rest))
+            rest = rest[sub_perm]
+    return np.concatenate([slots, rest])
+
+
 def build_model(coords: np.ndarray, conn: np.ndarray,
                 cfg: FeaConfig) -> FeaModel:
     """Prepare all static solve data for a mesh.
@@ -123,37 +147,53 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
     k_ax_host = (cfg.e_mod * cfg.area) / l_safe
     k_bd_host = 12.0 * cfg.e_mod * cfg.moi / (l_safe ** 3)
 
+    n_nodes = coords.shape[0]
+    schedule = None
+    unified_perm = None
+    if cfg.precond == "tree":
+        from .tree import build_tree_schedule
+        schedule = build_tree_schedule(conn_np, n_nodes, free)
+        if cfg.operator == "chain":
+            unified_perm = _unified_order(schedule, n_nodes)
+
     chain_plan = None
     chain_packed = None
     chain_host: dict = {}
     if cfg.operator == "chain":
         from .chain import build_chain_plan
+        # unified layout: chain positions = tree slot order (the whole-
+        # solve kernel's slot space becomes a row-slice of chain space —
+        # no slot<->chain one-hot tables, which were the VMEM ceiling)
         chain_plan = build_chain_plan(coords, conn_np, n_host, k_ax_host,
-                                      k_bd_host, dtype, host_out=chain_host)
+                                      k_bd_host, dtype, host_out=chain_host,
+                                      perm=unified_perm)
         if cfg.use_pallas:
-            from .pallas_cg import chain_table_bytes, pack_plan
+            from .pallas_cg import chain_table_bytes, pack_plan, plan_nb
             budget = cfg.pallas_vmem_limit_mb * 2 ** 20
-            if chain_table_bytes(chain_plan, coords.shape[0]) < budget:
-                chain_packed = pack_plan(chain_plan, coords.shape[0],
-                                         host=chain_host)
+            nb_eff = plan_nb(n_nodes)
+            if schedule is not None and schedule.levels:
+                from .pallas_tree import tree_slot_blocks
+                nb_eff = max(nb_eff, tree_slot_blocks(schedule))
+            if chain_table_bytes(chain_plan, n_nodes) < budget:
+                chain_packed = pack_plan(chain_plan, n_nodes,
+                                         host=chain_host, nb=nb_eff)
 
     tree_plan = None
     tree_packed = None
     if cfg.precond == "tree":
-        from .tree import build_tree_schedule, element_k3
+        from .tree import element_k3
         from .tree_jax import build_tree_plan
         k3 = element_k3(n_host, k_ax_host, k_bd_host)
-        schedule = build_tree_schedule(conn_np, coords.shape[0], free)
         tree_plan = build_tree_plan(schedule, k3, dtype)
         if cfg.use_pallas and chain_packed is not None and schedule.levels:
             from .pallas_cg import chain_table_bytes
             from .pallas_tree import pack_tree_plan, tree_kernel_vmem_bytes
             budget = cfg.pallas_vmem_limit_mb * 2 ** 20
-            need = (tree_kernel_vmem_bytes(schedule, coords.shape[0])
-                    + chain_table_bytes(chain_plan, coords.shape[0]))
+            need = (tree_kernel_vmem_bytes(schedule, n_nodes)
+                    + chain_table_bytes(chain_plan, n_nodes))
             if need < budget:
                 tree_packed = pack_tree_plan(schedule, chain_plan,
-                                             coords.shape[0], k3,
+                                             n_nodes, k3,
                                              host=chain_host)
 
     coords_j = jnp.asarray(coords, dtype=dtype)

@@ -107,13 +107,20 @@ def chain_table_bytes(plan: "ChainPlan", n_nodes: int) -> int:
 
 
 def pack_plan(plan: ChainPlan, n_nodes: int,
-              host: dict | None = None) -> PackedChainData:
+              host: dict | None = None,
+              nb: int | None = None) -> PackedChainData:
     """Build the kernel's VMEM tables. Pass ``host`` (the dict filled by
     build_chain_plan's host_out) so nothing is fetched back from the
     device: 2-D device->host fetches cost ~60-90s per shape on the axon
     tunnel. Without it, the plan's device arrays are fetched (slow path,
-    kept for standalone/test use)."""
-    nb = plan_nb(n_nodes)
+    kept for standalone/test use).
+
+    ``nb`` overrides the plane block count (>= plan_nb(n_nodes)) — the
+    unified tree/chain kernel needs the chain planes at least as tall as
+    the tree slot planes so slot space is a row-slice of chain space."""
+    if nb is None:
+        nb = plan_nb(n_nodes)
+    assert nb >= plan_nb(n_nodes)
     f32 = jnp.float32
 
     def hget(name):

@@ -79,18 +79,18 @@ class PackedTreeData(NamedTuple):
     af_lane_n1: jnp.ndarray
     af_blk_f1: jnp.ndarray
     af_lane_f1: jnp.ndarray
-    sc_blk: jnp.ndarray      # (NBt*128, NBc) slot -> chain-position gather
-    sc_lane: jnp.ndarray     # (NBt*128, 128)
-    # identity row<->plane conversion tables (Mosaic cannot reshape between
-    # (rows,1) and (nb,128); these make the conversion a one-hot matmul)
-    ids_blk: jnp.ndarray     # (NBt*128, NBt)
-    ids_lane: jnp.ndarray    # (NBt*128, 128)
+    # UNIFIED LAYOUT: chain position s == slot s (model._unified_order), so
+    # the old (NBt*128, NBc) slot<->chain one-hot tables — the quadratic
+    # VMEM ceiling of round 1 — are gone: slot space is a row-slice of each
+    # chain component plane.
+    # identity row<->plane conversion tables for PATH space (Mosaic cannot
+    # reshape between (rows,1) and (nb,128); these make it a one-hot matmul)
     idp_blk: jnp.ndarray     # (Pp, NPb)
     idp_lane: jnp.ndarray    # (Pp, 128)
     id2p_blk: jnp.ndarray    # (2*Pp, 2*NPb)
     id2p_lane: jnp.ndarray   # (2*Pp, 128)
-    slotcov: jnp.ndarray     # (3*NBc, 128) 1.0 at chain positions covered
-                             # by a slot (complement passes r through)
+    slotcov: jnp.ndarray     # (3*NBc, 128) 1.0 at chain positions < S_tot
+                             # (slots; complement passes r through)
     # index arrays for the per-solve XLA prep (not kernel inputs)
     left_elem: jnp.ndarray   # (NBt*128,) int32 (E sentinel)
     att_elem: jnp.ndarray    # (2*Pp,) int32 (E sentinel)
@@ -109,24 +109,32 @@ class PackedTreeData(NamedTuple):
         return self.lvm.shape[0] // self.fm.shape[0]
 
 
-def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
-    """Exact byte count of the PackedTreeData tables plus kernel scratch.
+def tree_slot_blocks(schedule) -> int:
+    """Slot-plane block count NBt (8-row aligned, >=1 pad slot). The
+    unified chain layout must be at least this tall (model.py nb_eff)."""
+    S_tot = sum(len(lv.slots) for lv in schedule.levels)
+    return ((S_tot // BLOCK + 1 + 7) // 8) * 8
 
-    The slot<->chain one-hot tables (sc_blk, ids_blk) are O(n_slots *
-    n_nodes/128) floats — quadratic-ish in mesh size — so the in-kernel
-    tree PC stops fitting VMEM somewhere past ~3e4 nodes. build_model uses
-    this estimate (computed from the host schedule, BEFORE allocating the
-    tables) to fall back to the XLA tree path on oversized meshes.
+
+def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
+    """Byte count of the PackedTreeData tables plus kernel scratch.
+
+    With the unified chain==slot ordering the round-1 quadratic
+    slot<->chain one-hots are gone; the dominant terms are now the PCR
+    coefficient scratch (2 * r_star * 9 planes over slots — linear in mesh
+    size) and the path->slot one-hot tables (paths x slot-blocks, small
+    because P << S). ~95 MB at 103k nodes / 309k DOF with reference-like
+    grips, so the whole-solve kernel now covers that scale in VMEM; the
+    XLA fallback only engages beyond cfg.pallas_vmem_limit_mb.
     """
     from .pallas_cg import plan_nb
     levels = schedule.levels
     L = len(levels)
-    S_tot = sum(len(lv.slots) for lv in levels)
     P_tot = sum(len(lv.first_pos) for lv in levels)
-    NBt = ((S_tot // BLOCK + 1 + 7) // 8) * 8
+    NBt = tree_slot_blocks(schedule)
     NPb = ((max(P_tot // BLOCK + 1, 1) + 7) // 8) * 8
     Sp, Pp = NBt * BLOCK, NPb * BLOCK
-    nbc = plan_nb(n_nodes)
+    nbc = max(plan_nb(n_nodes), NBt)
     r_star = 0
     for lv in levels:
         lens = lv.last_pos - lv.first_pos + 1
@@ -139,15 +147,16 @@ def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
         + 3 * nbc * BLOCK           # slotcov
         # scratch: ascr + bscr + dinv + ab0 + ab1
         + 2 * max(r_star, 1) * 9 * Sp + 9 * Sp + 2 * 9 * Pp
+        # CG state + chain working planes (x, r, z, p, ap, uk, freem + the
+        # matvec temporaries), conservatively 12 stacked 3-plane vectors
+        + 12 * 3 * nbc * BLOCK
         # transient per-chunk f32 upcasts of the bf16 tables
-        + 4 * 2048 * (max(nbc, NBt) + BLOCK)
+        + 4 * 2048 * (NBt + BLOCK)
     )
     bf16s = (                          # one-hot tables (2 bytes each)
         2 * 2 * Pp * (NBt + BLOCK)     # fl_*, at_*
         + 2 * Pp * (NBt + BLOCK)       # fs_* (n/f)
         + 4 * Pp * (NPb + BLOCK)       # af_* (4 side x flip combos)
-        + Sp * (nbc + BLOCK)           # sc_*
-        + Sp * (NBt + BLOCK)           # ids_*
         + Pp * (NPb + BLOCK)           # idp_*
         + 2 * Pp * (2 * NPb + BLOCK)   # id2p_*
     )
@@ -323,23 +332,22 @@ def pack_tree_plan(schedule, chain_plan, n_nodes: int,
     hfv = np.zeros(Pp, np.float32)
     hfv[:P_tot] = has_fill
 
-    # ---- slot <-> chain transforms ----
+    # ---- unified layout: chain position s == slot s ----
     inv_perm = (host["inv_perm"] if host is not None
                 else np.asarray(chain_plan.inv_perm))  # node -> chain pos
-    NBc = chain_plan.a_blk.shape[1]
-    # chain planes in the kernel use nb = n//128 + 1 (pallas_cg.plan_nb)
+    if not np.array_equal(inv_perm[slots], np.arange(S_tot)):
+        raise ValueError(
+            "pack_tree_plan requires the unified ordering (chain position "
+            "== tree slot); build the model through build_model so "
+            "_unified_order drives the chain permutation")
     from .pallas_cg import plan_nb
-    nbc = plan_nb(n_nodes)
+    nbc = max(plan_nb(n_nodes), NBt)   # chain planes at least slot-tall
     slot_node = np.full(Sp, n_nodes, np.int32)
     slot_node[:S_tot] = slots
-    cpos = np.full(Sp, -1, np.int64)
-    cpos[:S_tot] = inv_perm[slots]
-    sc_blk, sc_lane = _onehot(cpos, Sp, nbc)
-    ids_blk, ids_lane = _onehot(np.arange(Sp), Sp, NBt)
     idp_blk, idp_lane = _onehot(np.arange(Pp), Pp, NPb)
     id2p_blk, id2p_lane = _onehot(np.arange(2 * Pp), 2 * Pp, 2 * NPb)
     slotcov = np.zeros(nbc * BLOCK, np.float32)
-    slotcov[cpos[cpos >= 0]] = 1.0
+    slotcov[:S_tot] = 1.0
     slotcov3 = np.concatenate([slotcov.reshape(nbc, BLOCK)] * 3, axis=0)
 
     def m9(m33):
@@ -367,8 +375,6 @@ def pack_tree_plan(schedule, chain_plan, n_nodes: int,
         af_blk_f0=jnp.asarray(af_blk_f0), af_lane_f0=jnp.asarray(af_lane_f0),
         af_blk_n1=jnp.asarray(af_blk_n1), af_lane_n1=jnp.asarray(af_lane_n1),
         af_blk_f1=jnp.asarray(af_blk_f1), af_lane_f1=jnp.asarray(af_lane_f1),
-        sc_blk=jnp.asarray(sc_blk), sc_lane=jnp.asarray(sc_lane),
-        ids_blk=jnp.asarray(ids_blk), ids_lane=jnp.asarray(ids_lane),
         idp_blk=jnp.asarray(idp_blk), idp_lane=jnp.asarray(idp_lane),
         id2p_blk=jnp.asarray(id2p_blk), id2p_lane=jnp.asarray(id2p_lane),
         slotcov=jnp.asarray(slotcov3),
@@ -395,8 +401,7 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
                     af_blk_n0_ref, af_lane_n0_ref, af_blk_f0_ref,
                     af_lane_f0_ref, af_blk_n1_ref, af_lane_n1_ref,
                     af_blk_f1_ref, af_lane_f1_ref,
-                    sc_blk_ref, sc_lane_ref,
-                    ids_blk_ref, ids_lane_ref, idp_blk_ref, idp_lane_ref,
+                    idp_blk_ref, idp_lane_ref,
                     id2p_blk_ref, id2p_lane_ref, slotcov_ref,
                     x_out_ref, stats_ref,
                     ascr, bscr, dinv_scr, ab0_scr, ab1_scr):
@@ -465,18 +470,28 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
                 C / det, -(a * h - b * g) / det, (a * e - b * d) / det)
 
     def shift_p(x, s):
-        """plane-wise y[slot i] = x[slot i+s] (s may be traced);
+        """plane-wise y[slot i] = x[slot i+s] for ANY s (including the
+        >= 128 shifts long-path PCR rounds need: s = q*128 + t rolls lanes
+        by t and rows by q or q+1 selected per lane; s may be traced);
         cross-boundary reads are always annihilated by zero couplings."""
+        nr = x.shape[0]
+        t = s % BLOCK
+        q = (s // BLOCK) % nr
         ln = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        a = pltpu.roll(x, (-s) % BLOCK, 1)
-        b = pltpu.roll(a, x.shape[0] - 1, 0)
-        return jnp.where(ln >= BLOCK - s, b, a)
+        a = pltpu.roll(x, (-t) % BLOCK, 1)
+        b0 = pltpu.roll(a, (nr - q) % nr, 0)
+        b1 = pltpu.roll(a, (nr - q - 1) % nr, 0)
+        return jnp.where(ln >= BLOCK - t, b1, b0)
 
     def shift_m(x, s):
+        nr = x.shape[0]
+        t = s % BLOCK
+        q = (s // BLOCK) % nr
         ln = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        a = pltpu.roll(x, s % BLOCK, 1)
-        b = pltpu.roll(a, 1, 0)
-        return jnp.where(ln < s, b, a)
+        a = pltpu.roll(x, t % BLOCK, 1)
+        b0 = pltpu.roll(a, q, 0)
+        b1 = pltpu.roll(a, (q + 1) % nr, 0)
+        return jnp.where(ln < t, b1, b0)
 
     def tshift_p(T, s):
         return tuple(shift_p(t, s) for t in T)
@@ -634,7 +649,6 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         return freem * (matvec_raw(uf) + reg * uf) + pinm * u
 
     # ---------------- tree factorization (slot space) ----------------
-    ids = (ids_blk_ref, ids_lane_ref)
     idp = (idp_blk_ref, idp_lane_ref)
     id2p = (id2p_blk_ref, id2p_lane_ref)
     pp = npb * BLOCK
@@ -752,16 +766,24 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
     attB1 = read9(ab1_scr, npb)
 
     # ---------------- preconditioner application ----------------
+    # unified layout: chain position s == slot s, so the transforms are a
+    # row-slice and a padded concat — zero matmuls, zero tables (round 1
+    # spent its VMEM ceiling AND most of its per-iteration matmul FLOPs
+    # exactly here)
     slotcov = slotcov_ref[:]
 
     def chain_to_slots(r_chain):
-        return gather_vec(sc_blk_ref, sc_lane_ref, ids,
-                          tuple(r_chain[c * nbc:(c + 1) * nbc]
-                                for c in range(3)), nbt)
+        return tuple(r_chain[c * nbc:c * nbc + nbt] for c in range(3))
 
-    def slots_to_chain(v):
-        planes = scatter_vec(sc_blk_ref, sc_lane_ref, ids, v, nbc)
-        return jnp.concatenate(planes, axis=0)
+    if nbc > nbt:
+        zpad = jnp.zeros((nbc - nbt, BLOCK), f32)
+
+        def slots_to_chain(v):
+            return jnp.concatenate([jnp.concatenate([v[c], zpad], axis=0)
+                                    for c in range(3)], axis=0)
+    else:
+        def slots_to_chain(v):
+            return jnp.concatenate(list(v), axis=0)
 
     def precond(r_chain):
         rs = chain_to_slots(r_chain)
@@ -868,7 +890,9 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
     plan = model.chain
     tplan = model.tree
     n = model.n_nodes
-    nbc = plan_nb(n)
+    # chain planes were packed at nb_eff = max(plan_nb(n), NBt) so slot
+    # space is a row-slice of chain space (model.py build order)
+    nbc = chain_packed.cn.shape[0] // 3
     nbt = tree_packed.nbt
     npb = tree_packed.npb
     jp = chain_packed.jscal.shape[0]
@@ -930,8 +954,7 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
               tp.fs_blk_n, tp.fs_lane_n, tp.fs_blk_f, tp.fs_lane_f,
               tp.af_blk_n0, tp.af_lane_n0, tp.af_blk_f0, tp.af_lane_f0,
               tp.af_blk_n1, tp.af_lane_n1, tp.af_blk_f1, tp.af_lane_f1,
-              tp.sc_blk, tp.sc_lane,
-              tp.ids_blk, tp.ids_lane, tp.idp_blk, tp.idp_lane,
+              tp.idp_blk, tp.idp_lane,
               tp.id2p_blk, tp.id2p_lane, tp.slotcov)
     x_p, stats = pl.pallas_call(
         kernel,
