@@ -87,7 +87,8 @@ def main():
     # — 8.0 ms vs 10.2 ms for the XLA-op version on v5e (cold compile is
     # ~3 min but lands in the persistent .jax_cache)
     cfg = FeaConfig(dtype="float32", rtol=1e-6, warm_start=False,
-                    operator="chain", use_pallas=True, precond="tree")
+                    operator="chain", use_pallas=True, precond="tree",
+                    tree_reg_rel=1e-7)
     model = build_model(coords, conn, cfg)
     grip = np.asarray(model.top_nodes) | np.asarray(model.bot_nodes)
     anchored = jnp.asarray(anchored_mask_host(

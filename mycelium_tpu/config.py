@@ -116,7 +116,19 @@ class FeaConfig:
                                        # the median element stiffness: caps
                                        # the amplification of tree-floating
                                        # fracture fragments (the operator's
-                                       # own reg stays cfg.reg)
+                                       # own reg stays cfg.reg). PCR loses
+                                       # ~(k_scale/floor)^2 digits on
+                                       # reg-held fragment blocks, so this
+                                       # default keeps the PC residual at
+                                       # ~1e-6 |r| under heavy unanchored
+                                       # fracture; production ramps pin
+                                       # fragments via the anchored mask,
+                                       # so tuned_fea_config lowers the
+                                       # floor to 1e-7 — the 1e-5 floor
+                                       # sits ABOVE the soft bending modes
+                                       # of long hyphae (~k_bd*(pi/len)^4)
+                                       # and inflates CG iterations ~2x at
+                                       # 1e5+ DOF (docs/PERFORMANCE.md)
     operator: str = "ell"              # 'ell' (gather-only SpMV) | 'scatter'
                                        # | 'chain' (shift+MXU, TPU fast path)
     use_pallas: bool = False           # run the whole PCG in one Pallas
@@ -164,7 +176,8 @@ def tuned_fea_config(**overrides) -> FeaConfig:
     same displacement field (same rtol), it just takes ~60x fewer
     iterations on mycelium meshes (see fea/tree.py).
     """
-    base = dict(operator="chain", precond="tree", tree_coarse_weight=0.25)
+    base = dict(operator="chain", precond="tree", tree_coarse_weight=0.25,
+                tree_reg_rel=1e-7)
     if overrides.get("dtype", "float32") == "float32":
         import jax
         if jax.default_backend() != "cpu":
