@@ -129,6 +129,14 @@ class FeaConfig:
                                        # of long hyphae (~k_bd*(pi/len)^4)
                                        # and inflates CG iterations ~2x at
                                        # 1e5+ DOF (docs/PERFORMANCE.md)
+    tree_max_path_len: int = 128       # chop tree-schedule paths longer
+                                       # than this (0 = unbounded): bounds
+                                       # the PCR round count r =
+                                       # ceil(log2(max len)) that the
+                                       # whole-solve kernel's dominant VMEM
+                                       # term (2*r*9 coefficient planes)
+                                       # scales with, and keeps its shifts
+                                       # within one plane row
     operator: str = "ell"              # 'ell' (gather-only SpMV) | 'scatter'
                                        # | 'chain' (shift+MXU, TPU fast path)
     use_pallas: bool = False           # run the whole PCG in one Pallas

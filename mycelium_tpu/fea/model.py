@@ -152,7 +152,9 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
     unified_perm = None
     if cfg.precond == "tree":
         from .tree import build_tree_schedule
-        schedule = build_tree_schedule(conn_np, n_nodes, free)
+        schedule = build_tree_schedule(
+            conn_np, n_nodes, free,
+            max_path_len=cfg.tree_max_path_len)
         if cfg.operator == "chain":
             unified_perm = _unified_order(schedule, n_nodes)
 

@@ -151,7 +151,7 @@ def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
         # matvec temporaries), conservatively 12 stacked 3-plane vectors
         + 12 * 3 * nbc * BLOCK
         # transient per-chunk f32 upcasts of the bf16 tables
-        + 4 * 2048 * (NBt + BLOCK)
+        + 4 * 1024 * (NBt + BLOCK)
     )
     bf16s = (                          # one-hot tables (2 bytes each)
         2 * 2 * Pp * (NBt + BLOCK)     # fl_*, at_*
@@ -500,7 +500,7 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         return tuple(shift_m(t, s) for t in T)
 
     contract0 = (((0,), (0,)), ((), ()))
-    RCHUNK = 2048
+    RCHUNK = 1024
 
     def _move(blk_ref, lane_ref, id_ref_pair, src_plane, dst_shape,
               row0, n_rows):

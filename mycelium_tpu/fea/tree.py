@@ -120,15 +120,22 @@ class TreeSchedule(NamedTuple):
 
 def build_tree_schedule(conn: np.ndarray, n_nodes: int,
                         free: np.ndarray,
-                        tree_edge: Optional[np.ndarray] = None
-                        ) -> TreeSchedule:
+                        tree_edge: Optional[np.ndarray] = None,
+                        max_path_len: int = 0) -> TreeSchedule:
     """Simulate the peel on the host and record the static schedule.
 
     Levels repeat until no free node remains: nodes whose degree in the
     current (free-free) forest is <= 2 form maximal paths and are
     eliminated; their Schur complements flow to the junction endpoints as
     3x3 diag corrections plus one 'fill' edge joining the two junctions.
-    A forest always peels to empty (every tree has leaves)."""
+    A forest always peels to empty (every tree has leaves).
+
+    ``max_path_len`` > 0 chops longer paths by DEMOTING every
+    (max_path_len+1)-th node to the next level: the demoted nodes become
+    this level's junctions and are chained together by the adjacent
+    chunks' fill edges, i.e. ordinary two-level cyclic reduction. This
+    bounds the device PCR round count r = ceil(log2(max path len)) — the
+    dominant VMEM term of the whole-solve kernel scales linearly in r."""
     conn = np.asarray(conn, np.int64)
     free = np.asarray(free, bool)
     if tree_edge is None:
@@ -187,13 +194,9 @@ def build_tree_schedule(conn: np.ndarray, n_nodes: int,
                 out.append(nxt)
                 prev, cur = cur, nxt
 
-        for seed in np.nonzero(elim)[0]:
-            if visited[seed]:
-                continue
-            visited[seed] = True
-            back = walk(seed, -1)
-            fwd = walk(seed, back[0] if back else -1)
-            nodes = back[::-1] + [seed] + fwd
+        def _emit_path(nodes):
+            """Record one path's slots, left edges, attachments and fill."""
+            nonlocal n_fill
             # edge between consecutive path nodes, with orientation flag
             # relative to (nodes[i-1] -> nodes[i]): adjacency entries are
             # [nbr, kind, id, flip] with flip=False iff the stored value
@@ -267,6 +270,30 @@ def build_tree_schedule(conn: np.ndarray, n_nodes: int,
                 adj[juncs[1]].append([juncs[0], KIND_FILL, fid, True])
             else:
                 fill_out.append(-1)
+
+        for seed in np.nonzero(elim)[0]:
+            if visited[seed] or not elim[seed]:
+                continue
+            visited[seed] = True
+            back = walk(seed, -1)
+            fwd = walk(seed, back[0] if back else -1)
+            nodes_full = back[::-1] + [seed] + fwd
+            if max_path_len and len(nodes_full) > max_path_len:
+                # demote every (L+1)-th node to the next level: it becomes
+                # the junction both neighboring chunks attach to, and the
+                # chunks' fill edges chain the demoted nodes together —
+                # ordinary two-level cyclic reduction
+                chunks = []
+                i = 0
+                while i < len(nodes_full):
+                    chunks.append(nodes_full[i:i + max_path_len])
+                    if i + max_path_len < len(nodes_full):
+                        elim[nodes_full[i + max_path_len]] = False
+                    i += max_path_len + 1
+            else:
+                chunks = [nodes_full]
+            for nodes in chunks:
+                _emit_path(nodes)
 
         levels.append(dict(
             slots=np.asarray(slots, np.int32),

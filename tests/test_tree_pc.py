@@ -189,3 +189,37 @@ def test_tree_plus_coarse_weight_matches_tree_solution():
     assert bool(res.converged)
     scale = max(float(jnp.abs(ref.x).max()), 1e-30)
     assert float(jnp.abs(res.x - ref.x).max()) / scale < 1e-7
+
+
+@pytest.mark.parametrize("max_len", [4, 16])
+def test_split_schedule_matches_unbounded(max_len):
+    """max_path_len chops long paths by demoting cut nodes to the next
+    level (two-level cyclic reduction); the factorization stays EXACT —
+    apply through the split schedule must solve the same tree system."""
+    coords, conn = random_forest_mesh(seed=7)
+    cfg = FeaConfig(dtype="float64", operator="ell", use_pallas=False,
+                    grip_length=0.08, precond="tree")
+    model = build_model(coords, conn, cfg)
+    N = model.n_nodes
+    conn_np = np.asarray(model.conn)
+    free = ~(np.asarray(model.top_nodes) | np.asarray(model.bot_nodes))
+    sch = tr.build_tree_schedule(conn_np, N, free, max_path_len=max_len)
+    for lv in sch.levels:
+        lens = lv.last_pos - lv.first_pos + 1
+        assert lens.max() <= max_len
+    # every free node eliminated exactly once
+    all_slots = np.concatenate([lv.slots for lv in sch.levels])
+    assert sorted(all_slots.tolist()) == sorted(np.nonzero(free)[0].tolist())
+    k3 = tr.element_k3(np.asarray(model.geom.n, np.float64),
+                       np.asarray(model.geom.k_ax, np.float64),
+                       np.asarray(model.geom.k_bd, np.float64))
+    active = np.ones(model.n_elems, bool)
+    reg_pc = 1e-9
+    fac = tr.tree_factor_np(sch, k3, active, free, reg_pc)
+    rng = np.random.default_rng(max_len)
+    r = rng.standard_normal((N, 3))
+    r[~free] = 0.0
+    z = tr.tree_apply_np(fac, r)
+    T = bc_tree_matrix(model, sch, active, free, reg_pc)
+    res = np.linalg.norm(T @ z.reshape(-1) - r.reshape(-1))
+    assert res <= 1e-8 * np.linalg.norm(r)
