@@ -156,6 +156,8 @@ class FeaConfig:
                                        # DOF) reproducibly crashed the
                                        # axon TPU worker — use 'const'
                                        # beyond ~3e4 nodes
+    gmres_restart: int = 32            # Arnoldi restart length for the
+                                       # 'gmres' solver leg
     rtol: float = 1e-8                 # CG relative residual tolerance
     atol: float = 0.0
     max_iter: int = 20000

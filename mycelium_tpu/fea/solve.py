@@ -381,8 +381,11 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
             precond = lambda r: r  # noqa: E731
         bnorm = jnp.sqrt(_dot(jnp.where(freef, b, 0.0),
                               jnp.where(freef, b, 0.0)))
+        kw = ({"restart": cfg.gmres_restart} if cfg.solver == "gmres"
+              else {})
         res = SOLVERS[cfg.solver](operator, b, x0_p, precond, cfg.rtol,
-                                  cfg.atol, cfg.max_iter, bnorm=bnorm)
+                                  cfg.atol, cfg.max_iter, bnorm=bnorm,
+                                  **kw)
         return res._replace(x=res.x[plan.inv_perm])
 
     operator = bc_operator(model, active, cfg, free)
@@ -395,5 +398,6 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
     bnorm = jnp.sqrt(_dot(jnp.where(free[:, None], b, 0.0),
                           jnp.where(free[:, None], b, 0.0)))
     solver = SOLVERS[cfg.solver]
+    kw = {"restart": cfg.gmres_restart} if cfg.solver == "gmres" else {}
     return solver(operator, b, x0, precond, cfg.rtol, cfg.atol, cfg.max_iter,
-                  bnorm=bnorm)
+                  bnorm=bnorm, **kw)
