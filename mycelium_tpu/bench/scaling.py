@@ -51,7 +51,7 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
                         use_pallas=jax.default_backend() != "cpu",
                         precond="tree", tree_coarse_weight=0.25,
                         tree_reg_rel=1e-7, grip_length=0.3 * ext,
-                        pallas_vmem_limit_mb=110.0)
+                        pallas_vmem_limit_mb=120.0)
         t0 = time.time()
         model = build_model(coords, conn, cfg)
         build_s = time.time() - t0

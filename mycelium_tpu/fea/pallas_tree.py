@@ -147,9 +147,12 @@ def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
         + 3 * nbc * BLOCK           # slotcov
         # scratch: ascr + bscr + dinv + ab0 + ab1
         + 2 * max(r_star, 1) * 9 * Sp + 9 * Sp + 2 * 9 * Pp
-        # CG state + chain working planes (x, r, z, p, ap, uk, freem + the
-        # matvec temporaries), conservatively 12 stacked 3-plane vectors
-        + 12 * 3 * nbc * BLOCK
+        # scratch: chain coeffs, Dc/Lw/Rw, B9/dacc9, fill9, CG x/r/p
+        + 9 * nbc * BLOCK + 27 * Sp + 18 * Sp + 9 * Pp + 9 * nbc * BLOCK
+        # live temporaries + residual register spills (the mm/scatter
+        # chains keep ~2 slot-space 9-tuples in flight), empirically
+        # ~30 plane-equivalents at the 309k-DOF shape
+        + 30 * Sp
         # transient per-chunk f32 upcasts of the bf16 tables
         + 4 * 1024 * (NBt + BLOCK)
     )
@@ -404,7 +407,8 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
                     idp_blk_ref, idp_lane_ref,
                     id2p_blk_ref, id2p_lane_ref, slotcov_ref,
                     x_out_ref, stats_ref,
-                    ascr, bscr, dinv_scr, ab0_scr, ab1_scr):
+                    ascr, bscr, dinv_scr, ab0_scr, ab1_scr,
+                    chain_scr, dlr_scr, fact_scr, fill_scr, cg_scr):
     """Slot/path-space matrices and vectors are PYTHON TUPLES of (nb,128)
     planes (m[3i+j], v[i]); chain space keeps pallas_cg's stacked layout.
     Rounds and levels run as fori_loops with dynamic shifts and dynamic
@@ -574,13 +578,16 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
                      for i in range(3) for j in range(3))
 
     # ---------------- chain-space matvec (as in pallas_cg) ----------------
-    freem = freem_ref[:]
-    pinm = 1.0 - freem
+    # active-masked chain coefficients are computed ONCE into chain_scr and
+    # re-read per matvec: holding them (or freem/uk) as live values across
+    # the whole kernel forces the register allocator to give each of these
+    # multi-hundred-vreg planes a dedicated VMEM spill slot (90+ MB of
+    # spill scratch at 309k DOF — the difference between fitting VMEM and
+    # not)
     cact = cact_ref[:]
-    cn = cn_ref[:] * cact
-    ckax = ckax_ref[:] * cact
-    ckbd = ckbd_ref[:] * cact
-    uk = uk_ref[:]
+    chain_scr[pl.ds(0, 3 * nbc)] = cn_ref[:] * cact
+    chain_scr[pl.ds(3 * nbc, 3 * nbc)] = ckax_ref[:] * cact
+    chain_scr[pl.ds(6 * nbc, 3 * nbc)] = ckbd_ref[:] * cact
     c_rows = 3 * nbc
     c_lane = lax.broadcasted_iota(jnp.int32, (c_rows, BLOCK), 1)
     last_lane = c_lane == BLOCK - 1
@@ -608,6 +615,9 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         return jnp.concatenate([p, p, p], axis=0)
 
     def matvec_raw(u):
+        cn = chain_scr[pl.ds(0, 3 * nbc)]
+        ckax = chain_scr[pl.ds(3 * nbc, 3 * nbc)]
+        ckbd = chain_scr[pl.ds(6 * nbc, 3 * nbc)]
         d = u - shift_up_c(u)
         nd = tile3c(plane_sum(cn * d))
         fx = ckax * nd * cn + ckbd * (d - nd * cn)
@@ -645,22 +655,18 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         return lax.fori_loop(0, n_chunks, chunk_body, out)
 
     def matvec(u):
+        freem = freem_ref[:]
         uf = freem * u
-        return freem * (matvec_raw(uf) + reg * uf) + pinm * u
+        return freem * (matvec_raw(uf) + reg * uf) + (1.0 - freem) * u
 
     # ---------------- tree factorization (slot space) ----------------
     idp = (idp_blk_ref, idp_lane_ref)
     id2p = (id2p_blk_ref, id2p_lane_ref)
     pp = npb * BLOCK
-    ml = ml_ref[:]
     ma0_m = ma_ref[0:npb]
     ma1_m = ma_ref[npb:2 * npb]
-    d9 = read9(d9_ref, nbt)
     zero_s = jnp.zeros((nbt, BLOCK), f32)
     zero_p = jnp.zeros((npb, BLOCK), f32)
-    fm = fm_ref[:]
-    lm = lm_ref[:]
-    hf = hf_ref[:]
 
     ascr[:] = jnp.zeros_like(ascr)
     bscr[:] = jnp.zeros_like(bscr)
@@ -679,35 +685,47 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         dinv = read9(dinv_scr, nbt)
         return tuple(lvm * y for y in mv(dinv, rv))
 
-    def level_body(li, carry):
-        B9, dacc9, fill9 = carry
+    # factorization state lives in SCRATCH REFS, not loop carries: each
+    # loop-carried 9-tuple of slot planes is hundreds of vregs and gets a
+    # dedicated spill slot otherwise (see the chain_scr note above).
+    # dlr_scr holds [Dc; Lw; Rw] at bases 0 / 9*nbt / 18*nbt; fact_scr
+    # holds [B9; dacc9] at bases 0 / 9*nbt; fill_scr holds fill9.
+    def level_body(li, _):
         lvm = lvm_ref[pl.ds(li * nbt, nbt)]
         pvm = pvm_ref[pl.ds(li * npb, npb)]
 
         # PCR coefficient recurrence for this level's rows
-        def round_body(k, c):
-            Dc, Lw, Rw = c
+        def round_body(k, _):
             s = jnp.int32(1) << k
+            Dc = read9_dyn(dlr_scr, nbt, 0)
+            Lw = read9_dyn(dlr_scr, nbt, 9 * nbt)
+            Rw = read9_dyn(dlr_scr, nbt, 18 * nbt)
             dinv = inv9(Dc)
             a = mscale(mm(Lw, tshift_m(dinv, s)), lvm)
             b = mscale(mm(Rw, tshift_p(dinv, s)), lvm)
             base = k * 9 * nbt
             write9(ascr, nbt, base, madd(read9_dyn(ascr, nbt, base), a))
             write9(bscr, nbt, base, madd(read9_dyn(bscr, nbt, base), b))
-            Dc = msub(Dc, madd(mm(a, tshift_m(Rw, s)),
-                               mm(b, tshift_p(Lw, s))))
-            Lw = mneg(mm(a, tshift_m(Lw, s)))
-            Rw = mneg(mm(b, tshift_p(Rw, s)))
-            return (Dc, Lw, Rw)
+            write9(dlr_scr, nbt, 0,
+                   msub(Dc, madd(mm(a, tshift_m(Rw, s)),
+                                 mm(b, tshift_p(Lw, s)))))
+            write9(dlr_scr, nbt, 9 * nbt, mneg(mm(a, tshift_m(Lw, s))))
+            write9(dlr_scr, nbt, 18 * nbt, mneg(mm(b, tshift_p(Rw, s))))
+            return 0
 
-        Dc = madd(d9, dacc9)
-        Lw = m_t(B9)
-        Rw = tshift_p(B9, 1)
-        Dc, Lw, Rw = lax.fori_loop(0, r_star, round_body, (Dc, Lw, Rw))
+        B9 = read9(fact_scr, nbt, 0)
+        write9(dlr_scr, nbt, 0,
+               madd(read9(d9_ref, nbt), read9(fact_scr, nbt, 9 * nbt)))
+        write9(dlr_scr, nbt, 9 * nbt, m_t(B9))
+        write9(dlr_scr, nbt, 18 * nbt, tshift_p(B9, 1))
+        del B9
+        lax.fori_loop(0, r_star, round_body, 0)
         write9(dinv_scr, nbt, 0,
-               madd(read9(dinv_scr, nbt), mscale(inv9(Dc), lvm)))
+               madd(read9(dinv_scr, nbt),
+                    mscale(inv9(read9_dyn(dlr_scr, nbt, 0)), lvm)))
 
         # attachment couplings for this level's paths
+        fill9 = read9(fill_scr, npb, 0)
         a0 = madd(tuple(p * ma0_m for p in read9(k3a0_ref, npb)),
                   madd(gather_field(af_blk_n0_ref, af_lane_n0_ref,
                                     idp, fill9, npb),
@@ -718,6 +736,7 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
                                     idp, fill9, npb),
                        gather_field(af_blk_f1_ref, af_lane_f1_ref,
                                     idp, fill9, npb, transpose=True)))
+        del fill9
         a0 = mscale(a0, pvm)
         a1 = mscale(a1, pvm)
         write9(ab0_scr, npb, 0, madd(read9(ab0_scr, npb), a0))
@@ -726,9 +745,10 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         # corner blocks of T^{-1}: 6 unit-block columns via masked PCR.
         # Ms[(end, tag)][3*i+c]: component i of column c, read at end slots
         Ms = {}
-        for blkmask, tag in ((fm, "f"), (lm, "l")):
+        for ref, tag in ((fm_ref, "f"), (lm_ref, "l")):
             cols0, cols1 = [], []
             for c in range(3):
+                blkmask = ref[:]
                 rhs = tuple(blkmask if cc == c else zero_s
                             for cc in range(3))
                 x = pcr_update(rhs, lvm)
@@ -742,28 +762,28 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         # Schur corrections dG_s = -B_s M_ss B_s^T; fill = -B_f M_fl B_l^T
         dg0 = mneg(mm(mm(a0, Ms[("f", "f")]), m_t(a0)))
         dg1 = mneg(mm(mm(a1, Ms[("l", "l")]), m_t(a1)))
-        dacc9 = madd(dacc9,
-                     madd(scatter_field(at_blk_ref, at_lane_ref, idp,
-                                        dg0, nbt, row0=0, n_rows=pp),
-                          scatter_field(at_blk_ref, at_lane_ref, idp,
-                                        dg1, nbt, row0=pp, n_rows=pp)))
-        fb = mscale(mneg(mm(mm(a0, Ms[("f", "l")]), m_t(a1))), hf * pvm)
-        fill9 = madd(fill9, fb)
-        B9 = madd(B9, madd(
+        write9(fact_scr, nbt, 9 * nbt,
+               madd(read9(fact_scr, nbt, 9 * nbt),
+                    madd(scatter_field(at_blk_ref, at_lane_ref, idp,
+                                       dg0, nbt, row0=0, n_rows=pp),
+                         scatter_field(at_blk_ref, at_lane_ref, idp,
+                                       dg1, nbt, row0=pp, n_rows=pp))))
+        fb = mscale(mneg(mm(mm(a0, Ms[("f", "l")]), m_t(a1))),
+                    hf_ref[:] * pvm)
+        write9(fill_scr, npb, 0, madd(read9(fill_scr, npb, 0), fb))
+        write9(fact_scr, nbt, 0, madd(read9(fact_scr, nbt, 0), madd(
             scatter_field(fs_blk_n_ref, fs_lane_n_ref, idp, fb, nbt),
             scatter_field(fs_blk_f_ref, fs_lane_f_ref, idp, fb, nbt,
-                          transpose=True)))
-        return (B9, dacc9, fill9)
+                          transpose=True))))
+        return 0
 
-    B9_0 = tuple(p * ml for p in read9(k3l_ref, nbt))
+    write9(fact_scr, nbt, 0,
+           tuple(p * ml_ref[:] for p in read9(k3l_ref, nbt)))
+    write9(fact_scr, nbt, 9 * nbt, tuple(zero_s for _ in range(9)))
+    write9(fill_scr, npb, 0, tuple(zero_p for _ in range(9)))
     write9(ab0_scr, npb, 0, tuple(zero_p for _ in range(9)))
     write9(ab1_scr, npb, 0, tuple(zero_p for _ in range(9)))
-    dacc9_0 = tuple(zero_s for _ in range(9))
-    fill9_0 = tuple(zero_p for _ in range(9))
-    lax.fori_loop(0, n_levels, level_body, (B9_0, dacc9_0, fill9_0))
-
-    attB0 = read9(ab0_scr, npb)
-    attB1 = read9(ab1_scr, npb)
+    lax.fori_loop(0, n_levels, level_body, 0)
 
     # ---------------- preconditioner application ----------------
     # unified layout: chain position s == slot s, so the transforms are a
@@ -788,6 +808,8 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
     def precond(r_chain):
         rs = chain_to_slots(r_chain)
         zs3 = (zero_s, zero_s, zero_s)
+        attB0 = read9(ab0_scr, npb)
+        attB1 = read9(ab1_scr, npb)
 
         def fwd_body(li, c):
             rs, y_all = c
@@ -829,44 +851,60 @@ def _tree_cg_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
             return madd(u_all, u)
 
         u_all = lax.fori_loop(0, n_levels, bwd_body, zs3)
-        return slots_to_chain(u_all) + r_chain * (1.0 - slotcov)
+        return slots_to_chain(u_all) \
+            + r_chain * (1.0 - slotcov_ref[:])
 
     # ---------------- CG ----------------
+    # x, r, p live in scratch refs (cg_scr at bases 0/3nbc/6nbc); only the
+    # scalars ride the while carry — same spill-slot rationale as above
     def dot(a, b):
         return jnp.sum(a * b)
 
-    kuk = matvec_raw(uk)
-    b = pinm * uk - freem * kuk
+    def xv():
+        return cg_scr[pl.ds(0, 3 * nbc)]
+
+    def rv():
+        return cg_scr[pl.ds(3 * nbc, 3 * nbc)]
+
+    def pv():
+        return cg_scr[pl.ds(6 * nbc, 3 * nbc)]
+
+    freem = freem_ref[:]
+    uk = uk_ref[:]
+    b = (1.0 - freem) * uk - freem * matvec_raw(uk)
     bnorm2 = dot(freem * b, freem * b)
     tol2 = rtol * rtol * bnorm2
 
-    x0 = freem * x0_ref[:] + pinm * uk
-    r0 = b - matvec(x0)
-    z0 = precond(r0)
-    rz0 = dot(r0, z0)
-    rr0 = dot(r0, r0)
+    cg_scr[pl.ds(0, 3 * nbc)] = freem * x0_ref[:] + (1.0 - freem) * uk
+    cg_scr[pl.ds(3 * nbc, 3 * nbc)] = b - matvec(xv())
+    del freem, uk, b
+    z0 = precond(rv())
+    rz0 = dot(rv(), z0)
+    rr0 = dot(rv(), rv())
+    cg_scr[pl.ds(6 * nbc, 3 * nbc)] = z0
+    del z0
 
     def cond(s):
-        return jnp.logical_and(s[5] < max_iter, s[4] > tol2)
+        rr, k, rz = s
+        return jnp.logical_and(k < max_iter, rr > tol2)
 
     def body(s):
-        x, r, z, p, rr, k, rz = s
-        ap = matvec(p)
-        pap = dot(p, ap)
+        rr, k, rz = s
+        ap = matvec(pv())
+        pap = dot(pv(), ap)
         alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = precond(r)
-        rz_new = dot(r, z)
+        cg_scr[pl.ds(0, 3 * nbc)] = xv() + alpha * pv()
+        cg_scr[pl.ds(3 * nbc, 3 * nbc)] = rv() - alpha * ap
+        z = precond(rv())
+        rz_new = dot(rv(), z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        return (x, r, z, p, dot(r, r), k + 1, rz_new)
+        cg_scr[pl.ds(6 * nbc, 3 * nbc)] = z + beta * pv()
+        return (dot(rv(), rv()), k + 1, rz_new)
 
-    x, r, z, p, rr, k, rz = lax.while_loop(
-        cond, body,
-        (x0, r0, z0, z0, rr0, jnp.asarray(0, jnp.int32), rz0))
+    rr, k, rz = lax.while_loop(
+        cond, body, (rr0, jnp.asarray(0, jnp.int32), rz0))
 
-    x_out_ref[:] = x
+    x_out_ref[:] = xv()
     sl = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     stats = jnp.where(sl == 0, k.astype(f32),
                       jnp.where(sl == 1, jnp.sqrt(rr),
@@ -963,14 +1001,19 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
         in_specs=[vmem() for _ in range(len(inputs))],
         out_specs=(vmem(), vmem()),
         scratch_shapes=[
-            pltpu.VMEM((max(r_star, 1) * 9 * nbt, BLOCK), f32),
-            pltpu.VMEM((max(r_star, 1) * 9 * nbt, BLOCK), f32),
-            pltpu.VMEM((9 * nbt, BLOCK), f32),
-            pltpu.VMEM((9 * npb, BLOCK), f32),
-            pltpu.VMEM((9 * npb, BLOCK), f32),
+            pltpu.VMEM((max(r_star, 1) * 9 * nbt, BLOCK), f32),  # ascr
+            pltpu.VMEM((max(r_star, 1) * 9 * nbt, BLOCK), f32),  # bscr
+            pltpu.VMEM((9 * nbt, BLOCK), f32),                   # dinv
+            pltpu.VMEM((9 * npb, BLOCK), f32),                   # ab0
+            pltpu.VMEM((9 * npb, BLOCK), f32),                   # ab1
+            pltpu.VMEM((9 * nbc, BLOCK), f32),   # chain coeffs (masked)
+            pltpu.VMEM((27 * nbt, BLOCK), f32),  # Dc/Lw/Rw recurrence
+            pltpu.VMEM((18 * nbt, BLOCK), f32),  # B9/dacc9
+            pltpu.VMEM((9 * npb, BLOCK), f32),   # fill9
+            pltpu.VMEM((9 * nbc, BLOCK), f32),   # CG x/r/p
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(*inputs)
 
