@@ -49,6 +49,11 @@ class FeaModel(NamedTuple):
                                # (cfg.precond='tree')
     tree_packed: object = None  # Optional[pallas_tree.PackedTreeData] —
                                 # VMEM tables for the in-kernel tree PC
+                                # (single-kernel factor+solve mode)
+    tree_packed_big: object = None  # same PackedTreeData, hybrid mode:
+                                    # XLA factorization + whole-CG kernel
+                                    # (pallas_tree_big) for meshes whose
+                                    # in-kernel factorization busts VMEM
 
     @property
     def n_nodes(self) -> int:
@@ -182,6 +187,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
 
     tree_plan = None
     tree_packed = None
+    tree_packed_big = None
     if cfg.precond == "tree":
         from .tree import element_k3
         from .tree_jax import build_tree_plan
@@ -190,13 +196,23 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         if cfg.use_pallas and chain_packed is not None and schedule.levels:
             from .pallas_cg import chain_table_bytes
             from .pallas_tree import pack_tree_plan, tree_kernel_vmem_bytes
+            from .pallas_tree_big import hybrid_vmem_bytes
             budget = cfg.pallas_vmem_limit_mb * 2 ** 20
-            need = (tree_kernel_vmem_bytes(schedule, n_nodes)
-                    + chain_table_bytes(chain_plan, n_nodes))
-            if need < budget:
+            chain_bytes = chain_table_bytes(chain_plan, n_nodes)
+            if tree_kernel_vmem_bytes(schedule, n_nodes) \
+                    + chain_bytes < budget:
+                # everything (factorization + CG) in one Mosaic program
                 tree_packed = pack_tree_plan(schedule, chain_plan,
                                              n_nodes, k3,
                                              host=chain_host)
+            elif hybrid_vmem_bytes(schedule, n_nodes) \
+                    + chain_bytes < budget:
+                # factorize in XLA, run the CG loop as one kernel — the
+                # in-kernel factorization's register spills bust VMEM at
+                # this size (pallas_tree_big.py)
+                tree_packed_big = pack_tree_plan(schedule, chain_plan,
+                                                 n_nodes, k3,
+                                                 host=chain_host)
 
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)
@@ -219,6 +235,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         chain_packed=chain_packed,
         tree=tree_plan,
         tree_packed=tree_packed,
+        tree_packed_big=tree_packed_big,
     )
 
 

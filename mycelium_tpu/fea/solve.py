@@ -328,6 +328,16 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
                                  x0, cfg, anchored)
 
     if cfg.operator == "chain" and model.chain is not None \
+            and cfg.use_pallas and cfg.precond == "tree" \
+            and getattr(model, "tree_packed_big", None) is not None \
+            and getattr(model, "chain_packed", None) is not None:
+        # large-mesh hybrid: factorize in XLA, whole CG loop in one kernel
+        from .pallas_tree_big import pallas_tree_big_solve
+        return pallas_tree_big_solve(model, model.chain_packed,
+                                     model.tree_packed_big, active,
+                                     dy_top, dy_bot, x0, cfg, anchored)
+
+    if cfg.operator == "chain" and model.chain is not None \
             and cfg.use_pallas and cfg.precond != "tree" \
             and getattr(model, "chain_packed", None) is not None:
         from .pallas_cg import pallas_chain_solve

@@ -153,3 +153,35 @@ def test_vmem_estimator_and_gate():
     assert bool(res.converged)
     scale = max(float(jnp.abs(ref.x).max()), 1e-30)
     assert float(jnp.abs(res.x - ref.x).max()) / scale < 5e-4
+
+
+def test_hybrid_big_kernel_matches_xla_tree():
+    """The large-mesh hybrid path (XLA factorization + whole-CG kernel,
+    pallas_tree_big) must match the XLA tree-PC path. Forced by moving the
+    packed tables to the tree_packed_big slot."""
+    from tests.test_tree_pc import random_forest_mesh
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+
+    coords, conn = random_forest_mesh(n_nodes=260, n_extra=8, seed=11)
+    base = dict(dtype="float32", operator="chain", grip_length=0.1,
+                rtol=1e-6, precond="tree", warm_start=False)
+    cfg_x = FeaConfig(use_pallas=False, **base)
+    cfg_p = FeaConfig(use_pallas=True, **base)
+    mx = build_model(coords, conn, cfg_x)
+    mp = build_model(coords, conn, cfg_p)
+    assert mp.tree_packed is not None
+    mp = mp._replace(tree_packed=None, tree_packed_big=mp.tree_packed)
+    rng = np.random.default_rng(0)
+    for frac in (0.0, 0.12):
+        act_np = rng.random(mx.n_elems) > frac
+        grip = np.asarray(mx.top_nodes) | np.asarray(mx.bot_nodes)
+        anch = jnp.asarray(anchored_mask_host(np.asarray(mx.conn), act_np,
+                                              grip))
+        active = jnp.asarray(act_np)
+        x0 = jnp.zeros((mx.n_nodes, 3), jnp.float32)
+        rx = solve_displacement(mx, active, 0.01, -0.01, x0, cfg_x, anch)
+        rp = solve_displacement(mp, active, 0.01, -0.01, x0, cfg_p, anch)
+        assert bool(rx.converged) and bool(rp.converged)
+        scale = max(float(jnp.abs(rx.x).max()), 1e-30)
+        err = float(jnp.abs(rp.x - rx.x).max()) / scale
+        assert err < 5e-4, (frac, err)
