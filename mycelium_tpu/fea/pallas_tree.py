@@ -149,10 +149,13 @@ def tree_kernel_vmem_bytes(schedule, n_nodes: int) -> int:
         + 2 * max(r_star, 1) * 9 * Sp + 9 * Sp + 2 * 9 * Pp
         # scratch: chain coeffs, Dc/Lw/Rw, B9/dacc9, fill9, CG x/r/p
         + 9 * nbc * BLOCK + 27 * Sp + 18 * Sp + 9 * Pp + 9 * nbc * BLOCK
-        # live temporaries + residual register spills (the mm/scatter
-        # chains keep ~2 slot-space 9-tuples in flight), empirically
-        # ~30 plane-equivalents at the 309k-DOF shape
-        + 30 * Sp
+        # register-spill allowance: Mosaic assigns every spilled
+        # plane-sized value in the factorization's 3x3-field expression
+        # chains its own VMEM slot — measured ~83 MB at NBt=432, i.e.
+        # ~390 slot-plane equivalents, scaling with the plane height.
+        # This is what actually bounds the single-kernel mode (~45k nodes);
+        # beyond it build_model picks the hybrid path (pallas_tree_big)
+        + 420 * Sp
         # transient per-chunk f32 upcasts of the bf16 tables
         + 4 * 1024 * (NBt + BLOCK)
     )
