@@ -66,7 +66,11 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
         @jax.jit
         def chained(model, active, anchored, x0):
             def body(carry, _):
-                res = solve_displacement(model, active, dy, -dy,
+                # make the active mask depend on the carry so XLA cannot
+                # hoist the per-solve factorization out of the scan: every
+                # chained solve is a TRUE cold solve (setup included)
+                act = active & jnp.isfinite(carry[0, 0])
+                res = solve_displacement(model, act, dy, -dy,
                                          carry * 1e-30, cfg, anchored)
                 return res.x, res.iters
             return jax.lax.scan(body, x0, None, length=n_chain)

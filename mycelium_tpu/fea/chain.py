@@ -202,11 +202,17 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
         jkbd[:J] = k_bd[jump_ids]
         jelem[:J] = jump_ids
 
+    ja_pad = np.full(Jp, n_nodes, np.int64)
+    jb_pad = np.full(Jp, n_nodes, np.int64)
+    if J:
+        ja_pad[:J] = ja
+        jb_pad[:J] = jb
     if host_out is not None:
         host_out.update(
             perm=perm, inv_perm=inv, chain_n=chain_n, chain_kax=chain_kax,
             chain_kbd=chain_kbd, jump_n=jn, jump_kax=jkax, jump_kbd=jkbd,
-            a_blk=a_blk, a_lane=a_lane, b_blk=b_blk, b_lane=b_lane)
+            a_blk=a_blk, a_lane=a_lane, b_blk=b_blk, b_lane=b_lane,
+            chain_elem=slot_owner, jump_elem=jelem, ja=ja_pad, jb=jb_pad)
     # dtype conversion stays in numpy: jnp.asarray with a dtype change
     # compiles a convert_element_type per shape (slow on remote backends);
     # a same-dtype asarray is a pure device transfer
@@ -287,8 +293,13 @@ def chain_apply(plan: ChainPlan, chain_act, jump_act, u_perm):
 
 def plan_active_masks(plan: ChainPlan, active):
     """Gather the per-element active mask into plan order (chain slots and
-    jump rows). Called once per solve — the only gathers on this path."""
+    jump rows). Called once per solve — the only gathers on this path.
+
+    The gather runs on the BOOL array (1 byte/row) and casts afterwards:
+    f32 row-gathers at 1e5 rows cost tens of ms on TPU, bool ones ~10x
+    less."""
     dtype = plan.chain_n.dtype
-    act_pad = jnp.concatenate([active.astype(dtype),
-                               jnp.zeros((1,), dtype)])
-    return act_pad[plan.chain_elem], act_pad[plan.jump_elem]
+    act_pad = jnp.concatenate([active.astype(bool),
+                               jnp.zeros((1,), bool)])
+    return (act_pad[plan.chain_elem].astype(dtype),
+            act_pad[plan.jump_elem].astype(dtype))

@@ -54,6 +54,9 @@ class FeaModel(NamedTuple):
                                     # XLA factorization + whole-CG kernel
                                     # (pallas_tree_big) for meshes whose
                                     # in-kernel factorization busts VMEM
+    tree_fast: object = None    # Optional[tree_jax.FastFactorData] —
+                                # static tables for the gather-free
+                                # factorization (unified ordering only)
 
     @property
     def n_nodes(self) -> int:
@@ -188,11 +191,35 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
     tree_plan = None
     tree_packed = None
     tree_packed_big = None
+    tree_fast = None
     if cfg.precond == "tree":
-        from .tree import element_k3
-        from .tree_jax import build_tree_plan
+        from .tree import KIND_ELEM, KIND_FILL, element_k3
+        from .tree_jax import FastFactorData, FastMeta, build_tree_plan
         k3 = element_k3(n_host, k_ax_host, k_bd_host)
         tree_plan = build_tree_plan(schedule, k3, dtype)
+        if unified_perm is not None and schedule.levels:
+            # static tables for the gather-free factorization: f32 row
+            # gathers/scatters at 1e5 rows cost 30-90 ms each on TPU and
+            # dominated the cold factor (~750 ms at 309k DOF); everything
+            # index-shaped is resolved here on the host, once per mesh
+            tree_pad = np.concatenate([np.asarray(schedule.tree_edge),
+                                       np.zeros(1, bool)])
+            lk = np.concatenate([lv.left_kind for lv in schedule.levels])
+            lid = np.concatenate([lv.left_id for lv in schedule.levels])
+            left_k3 = np.zeros((len(lk), 3, 3))
+            is_le = lk == KIND_ELEM
+            left_k3[is_le] = k3[lid[is_le]]
+            tree_fast = FastFactorData(
+                chain_tree=jnp.asarray(
+                    tree_pad[chain_host["chain_elem"]]),
+                jump_tree=jnp.asarray(tree_pad[chain_host["jump_elem"]]),
+                left_k3=jnp.asarray(np.asarray(left_k3, np.dtype(dtype))),
+                ja=jnp.asarray(np.asarray(chain_host["ja"], np.int32)),
+                jb=jnp.asarray(np.asarray(chain_host["jb"], np.int32)),
+                meta=FastMeta(level_left_fill=tuple(
+                    bool(np.any(lv.left_kind == KIND_FILL))
+                    for lv in schedule.levels)),
+            )
         if cfg.use_pallas and chain_packed is not None and schedule.levels:
             from .pallas_cg import chain_table_bytes
             from .pallas_tree import pack_tree_plan, tree_kernel_vmem_bytes
@@ -236,6 +263,7 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         tree=tree_plan,
         tree_packed=tree_packed,
         tree_packed_big=tree_packed_big,
+        tree_fast=tree_fast,
     )
 
 

@@ -961,23 +961,40 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
     m_tree = active & tplan.tree_edge
     m_couple = (m_tree & free[conn[:, 0]] & free[conn[:, 1]]
                 & (conn[:, 0] != conn[:, 1]))
-    k3 = tplan.k3.astype(f32)
-    k_eff = k3 * m_tree[:, None, None].astype(f32)
     eye = jnp.eye(3, dtype=f32)
-    D_nodes = jnp.zeros((n, 3, 3), f32)
-    D_nodes = D_nodes.at[conn[:, 0]].add(k_eff)
-    D_nodes = D_nodes.at[conn[:, 1]].add(k_eff)
-    D_nodes = D_nodes + jnp.asarray(reg_pc, f32) * eye[None]
-    D_nodes = jnp.where(free[:, None, None], D_nodes, eye[None])
-    D_pad = jnp.concatenate([D_nodes, eye[None]])      # sentinel: identity
-    Ds = D_pad[tree_packed.slot_node]                  # (Sp,3,3)
+    S_tot = tplan.n_slots
+    Sp = nbt * BLOCK
+    if getattr(model, "tree_fast", None) is not None:
+        # gather-free diagonal: chain shifts + small jump scatter; slots
+        # ARE chain positions under the unified ordering, so slot
+        # extraction is a slice (the old path's N-row scatter-adds plus
+        # the Sp-row slot gather cost ~150 ms at 309k DOF)
+        from .tree_jax import chain_tree_diag
+        free_chain = free[plan.perm]
+        D_chain = chain_tree_diag(tplan, model.tree_fast, plan, active,
+                                  free_chain,
+                                  jnp.asarray(reg_pc, f32)).astype(f32)
+        Ds = jnp.concatenate(
+            [D_chain[:S_tot],
+             jnp.broadcast_to(eye, (Sp - S_tot, 3, 3))])
+    else:
+        k3 = tplan.k3.astype(f32)
+        k_eff = k3 * m_tree[:, None, None].astype(f32)
+        D_nodes = jnp.zeros((n, 3, 3), f32)
+        D_nodes = D_nodes.at[conn[:, 0]].add(k_eff)
+        D_nodes = D_nodes.at[conn[:, 1]].add(k_eff)
+        D_nodes = D_nodes + jnp.asarray(reg_pc, f32) * eye[None]
+        D_nodes = jnp.where(free[:, None, None], D_nodes, eye[None])
+        D_pad = jnp.concatenate([D_nodes, eye[None]])  # sentinel: identity
+        Ds = D_pad[tree_packed.slot_node]              # (Sp,3,3)
     d9 = jnp.concatenate(
         [Ds[:, i, j].reshape(nbt, BLOCK) for i in range(3)
          for j in range(3)], axis=0)
 
-    mc_pad = jnp.concatenate([m_couple.astype(f32), jnp.zeros((1,), f32)])
-    ml = mc_pad[tree_packed.left_elem].reshape(nbt, BLOCK)
-    ma = mc_pad[tree_packed.att_elem].reshape(2 * npb, BLOCK)
+    # bool gathers (1 byte/row), cast after — f32 row gathers are ~10x
+    mc_pad = jnp.concatenate([m_couple, jnp.zeros((1,), bool)])
+    ml = mc_pad[tree_packed.left_elem].astype(f32).reshape(nbt, BLOCK)
+    ma = mc_pad[tree_packed.att_elem].astype(f32).reshape(2 * npb, BLOCK)
 
     kernel = functools.partial(
         _tree_cg_kernel, nbc, nbt, npb, n_levels, r_star, jp,

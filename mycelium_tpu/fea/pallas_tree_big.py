@@ -484,10 +484,18 @@ def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
     uk_p = pack_vec3(u_k[plan.perm], nbc)
     x0_p = pack_vec3(x0.astype(f32)[plan.perm], nbc)
 
-    # factorization in XLA (exact; dispatch-bound but once per solve)
+    # factorization in XLA (exact; once per solve) — the gather-free fast
+    # path when available, else the generic one
     reg_pc = max(cfg.reg, cfg.tree_reg_rel * tplan.meta.k_scale)
-    factor = tree_factor(tplan, active, free,
-                         jnp.asarray(reg_pc, f32), model.conn)
+    if getattr(model, "tree_fast", None) is not None:
+        from .tree_jax import tree_factor_fast
+        free_chain = free[plan.perm]
+        factor = tree_factor_fast(tplan, model.tree_fast, plan, active,
+                                  free, free_chain,
+                                  jnp.asarray(reg_pc, f32), model.conn)
+    else:
+        factor = tree_factor(tplan, active, free,
+                             jnp.asarray(reg_pc, f32), model.conn)
     ascr, bscr, dinv9, ab0, ab1 = _factor_planes(tplan, factor, nbt, npb,
                                                  r_star)
 

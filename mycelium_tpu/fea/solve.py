@@ -365,7 +365,25 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         b = jnp.where(freef,
                       -chain_apply(plan, chain_act, jump_act, u_k_p),
                       u_k_p)
-        if cfg.precond == "tree" and cfg.tree_coarse_weight > 0.0:
+        if cfg.precond == "tree" and model.tree_fast is not None:
+            # gather-free path (unified ordering): factorization from
+            # chain shifts + static tables, apply directly on chain-order
+            # residuals (slots are positions [0, n_slots) — slices, not
+            # the two N-row permutation gathers per iteration)
+            from .tree_jax import tree_apply_chain, tree_factor_fast
+            reg_pc = max(cfg.reg,
+                         cfg.tree_reg_rel * model.tree.meta.k_scale)
+            factor = tree_factor_fast(
+                model.tree, model.tree_fast, plan, active, free, free_p,
+                jnp.asarray(reg_pc, u_k.dtype), model.conn)
+            if cfg.tree_coarse_weight > 0.0:
+                cc = _coarse_chain_fn(model, active, cfg, free)
+                w = float(cfg.tree_coarse_weight)
+                precond = lambda r: (tree_apply_chain(model.tree, factor,  # noqa: E731
+                                                      r) + w * cc(r))
+            else:
+                precond = lambda r: tree_apply_chain(model.tree, factor, r)  # noqa: E731
+        elif cfg.precond == "tree" and cfg.tree_coarse_weight > 0.0:
             # tree PC in node space + coarse correction directly in chain
             # space: the 128-node clusters ARE the chain-plane rows, so
             # restriction/prolongation are reshape-sums and broadcasts —

@@ -258,6 +258,204 @@ def _pcr_apply(alphas, betas, dinv, r):
     return mv(dinv, r)
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class FastMeta:
+    """Static flags of the fast factorization (hashable jit-cache key)."""
+    level_left_fill: tuple    # per level: has KIND_FILL left edges
+
+
+class FastFactorData(NamedTuple):
+    """Static (per-mesh) tables for the gather-free factorization under the
+    UNIFIED chain==slot ordering (model._unified_order).
+
+    f32 per-row gathers/scatters at 1e5 rows cost 30-90 ms each on TPU —
+    they dominated tree_factor's cold cost (measured ~750 ms at 309k DOF).
+    With chain position s == slot s, the diagonal assembles from chain
+    SHIFTS plus a tiny jump scatter, the left-edge couplings come from a
+    static table masked by bool gathers, and slot extraction is a slice.
+    """
+    chain_tree: jnp.ndarray   # (N,) bool — chain slot's element in forest
+    jump_tree: jnp.ndarray    # (Jp,) bool
+    left_k3: jnp.ndarray      # (S,3,3) static left-edge element k3
+                              # (zero for KIND_FILL / KIND_NONE rows)
+    ja: jnp.ndarray           # (Jp,) int32 jump endpoint chain positions
+    jb: jnp.ndarray           # (Jp,) int32 (sentinel N for padding rows)
+    meta: FastMeta            # static flags
+
+
+def chain_tree_diag(plan: TreePlan, fast: FastFactorData, cplan,
+                    active: jnp.ndarray, free_chain: jnp.ndarray,
+                    reg) -> jnp.ndarray:
+    """(N,3,3) tree-PC diagonal in CHAIN order, scatter/gather-free up to
+    bool gathers and a 2J-row jump scatter. Rows >= n_slots (grips) and
+    anchored-pinned rows are identity."""
+    dtype = plan.k3.dtype
+    N = free_chain.shape[0]
+    eye = jnp.eye(3, dtype=dtype)
+    act_pad = jnp.concatenate([active.astype(bool),
+                               jnp.zeros((1,), bool)])
+    m_c = (act_pad[cplan.chain_elem] & fast.chain_tree)
+    n = cplan.chain_n
+    nnT = n[:, :, None] * n[:, None, :]
+    k3c = (cplan.chain_kax[:, None, None] * nnT
+           + cplan.chain_kbd[:, None, None] * (eye[None] - nnT))
+    k3c = k3c * m_c[:, None, None]
+    # chain edge i connects positions i and i+1: both ends get its k3
+    D = k3c + jnp.concatenate([jnp.zeros((1, 3, 3), dtype), k3c[:-1]])
+    # jump edges (few thousand rows — the only scatter left)
+    m_j = (act_pad[cplan.jump_elem] & fast.jump_tree)
+    nj = cplan.jump_n
+    nnTj = nj[:, :, None] * nj[:, None, :]
+    k3j = (cplan.jump_kax[:, None, None] * nnTj
+           + cplan.jump_kbd[:, None, None] * (eye[None] - nnTj))
+    k3j = k3j * m_j[:, None, None]
+    D = D.at[fast.ja].add(k3j, mode="drop")
+    D = D.at[fast.jb].add(k3j, mode="drop")
+    D = D + reg * eye[None]
+    return jnp.where(free_chain[:, None, None], D, eye[None])
+
+
+def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
+                     active: jnp.ndarray, free_now: jnp.ndarray,
+                     free_chain: jnp.ndarray, reg,
+                     conn: jnp.ndarray) -> TreeFactor:
+    """tree_factor without N/S-row f32 gathers or scatters (unified
+    ordering only). Numerically identical to tree_factor — tested
+    elementwise against it."""
+    meta = plan.meta
+    k3 = plan.k3
+    S_tot = plan.n_slots
+    P_tot = plan.n_paths
+    dtype = k3.dtype
+    eye = jnp.eye(3, dtype=dtype)
+
+    D_g = chain_tree_diag(plan, fast, cplan, active, free_chain,
+                          reg)[:S_tot]
+
+    # left-edge element couplings: static k3 table * active * both-free
+    act_pad = jnp.concatenate([active.astype(bool),
+                               jnp.zeros((1,), bool)])
+    la = act_pad[plan.left_elem]                         # (S,) bool
+    fprev = jnp.concatenate([jnp.zeros((1,), bool), free_chain[:S_tot][:-1]])
+    lmask = (la & free_chain[:S_tot] & fprev).astype(dtype)
+    B_elem = -fast.left_k3 * lmask[:, None, None]        # (S,3,3)
+
+    # attachment couplings stay on the (small) path axis
+    m_couple = (active & plan.tree_edge
+                & free_now[conn[:, 0]] & free_now[conn[:, 1]]
+                & (conn[:, 0] != conn[:, 1]))
+    k_pad = jnp.concatenate(
+        [-k3 * m_couple[:, None, None], jnp.zeros((1, 3, 3), dtype)])
+
+    fill_B = jnp.zeros((P_tot + 1, 3, 3), dtype)
+    dacc = jnp.zeros((S_tot + 1, 3, 3), dtype)
+
+    alphas, betas = [], []
+    dinv_parts = []
+    attb_parts = []
+    L = len(meta.level_steps)
+    for li in range(L):
+        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
+        D_l = D_g[s0:s1] + dacc[s0:s1]
+        B_l = B_elem[s0:s1]
+        if fast.meta.level_left_fill[li]:
+            lf = plan.left_fill[s0:s1]
+            B_fill = fill_B[lf]
+            B_fill = jnp.where(plan.left_fill_flip[s0:s1, None, None],
+                               jnp.swapaxes(B_fill, -1, -2), B_fill)
+            B_l = B_l + B_fill
+        al, be, dinv = _pcr_coeffs(D_l, B_l, meta.level_steps[li])
+        alphas.append(al)
+        betas.append(be)
+        dinv_parts.append(dinv)
+
+        fg = plan.first_gpos[p0:p1] - s0
+        lg = plan.last_gpos[p0:p1] - s0
+        ab = k_pad[plan.att_elem[p0:p1]] \
+            + fill_B[plan.att_fill[p0:p1]]
+        ab = jnp.where(plan.att_flip[p0:p1, :, None, None],
+                       jnp.swapaxes(ab, -1, -2), ab)
+        attb_parts.append(ab)
+
+        S_l = s1 - s0
+        rhs = jnp.zeros((S_l, 3, 6), dtype)
+        rhs = rhs.at[fg, :, 0:3].add(eye)
+        rhs = rhs.at[lg, :, 3:6].add(eye)
+        X = _pcr_apply(al, be, dinv, rhs)
+        Mff = X[fg, :, 0:3]
+        Mll = X[lg, :, 3:6]
+        Mfl = X[fg, :, 3:6]
+        bl, br = ab[:, 0], ab[:, 1]
+        dg_l = -_mm(_mm(bl, Mff), jnp.swapaxes(bl, -1, -2))
+        dg_r = -_mm(_mm(br, Mll), jnp.swapaxes(br, -1, -2))
+        tgt = plan.att_tgt[p0:p1]
+        dacc = dacc.at[tgt[:, 0]].add(dg_l)
+        dacc = dacc.at[tgt[:, 1]].add(dg_r)
+        fb = -_mm(_mm(bl, Mfl), jnp.swapaxes(br, -1, -2))
+        fb = fb * plan.has_fill[p0:p1, None, None]
+        fill_B = fill_B.at[jnp.arange(p0, p1)].set(fb)
+
+    dinv_all = (jnp.concatenate(dinv_parts) if dinv_parts
+                else jnp.zeros((0, 3, 3), dtype))
+    attb_all = (jnp.concatenate(attb_parts) if attb_parts
+                else jnp.zeros((0, 2, 3, 3), dtype))
+    return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
+                      dinv=dinv_all, att_b=attb_all)
+
+
+def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
+                     r_chain: jnp.ndarray) -> jnp.ndarray:
+    """tree_apply on CHAIN-ordered (N,3) residuals under the unified
+    ordering: slots occupy positions [0, n_slots) so the per-iteration
+    N-row gathers of the node-space version become slices."""
+    meta = plan.meta
+    L = len(meta.level_steps)
+    S_tot = plan.n_slots
+    racc = jnp.concatenate(
+        [r_chain[:S_tot], jnp.zeros((1, 3), r_chain.dtype)])
+
+    def mv(m, v):
+        return jnp.einsum("nij,nj->ni", m, v, precision=HI)
+
+    def mtv(m, v):
+        return jnp.einsum("nji,nj->ni", m, v, precision=HI)
+
+    ys = []
+    for li in range(L):
+        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
+        y = _pcr_apply(factor.alphas[li], factor.betas[li],
+                       factor.dinv[s0:s1], racc[s0:s1])
+        ys.append(y)
+        ab = factor.att_b[p0:p1]
+        fg = plan.first_gpos[p0:p1] - s0
+        lg = plan.last_gpos[p0:p1] - s0
+        tgt = plan.att_tgt[p0:p1]
+        racc = racc.at[tgt[:, 0]].add(-mv(ab[:, 0], y[fg]))
+        racc = racc.at[tgt[:, 1]].add(-mv(ab[:, 1], y[lg]))
+
+    u_all = jnp.zeros((S_tot + 1, 3), r_chain.dtype)
+    for li in range(L - 1, -1, -1):
+        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
+        ab = factor.att_b[p0:p1]
+        fg = plan.first_gpos[p0:p1] - s0
+        lg = plan.last_gpos[p0:p1] - s0
+        tgt = plan.att_tgt[p0:p1]
+        uj0 = u_all[tgt[:, 0]]
+        uj1 = u_all[tgt[:, 1]]
+        z = jnp.zeros((s1 - s0, 3), r_chain.dtype)
+        z = z.at[fg].add(mtv(ab[:, 0], uj0))
+        z = z.at[lg].add(mtv(ab[:, 1], uj1))
+        u = ys[li] - _pcr_apply(factor.alphas[li], factor.betas[li],
+                                factor.dinv[s0:s1], z)
+        u_all = u_all.at[s0:s1].set(u)
+
+    return jnp.concatenate([u_all[:S_tot], r_chain[S_tot:]], axis=0)
+
+
 def tree_factor(plan: TreePlan, active: jnp.ndarray,
                 free_now: jnp.ndarray, reg,
                 conn: jnp.ndarray) -> TreeFactor:

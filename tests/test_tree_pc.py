@@ -223,3 +223,44 @@ def test_split_schedule_matches_unbounded(max_len):
     T = bc_tree_matrix(model, sch, active, free, reg_pc)
     res = np.linalg.norm(T @ z.reshape(-1) - r.reshape(-1))
     assert res <= 1e-8 * np.linalg.norm(r)
+
+
+def test_fast_factor_matches_generic():
+    """tree_factor_fast (gather-free, unified ordering) must produce the
+    same factorization as tree_factor, including under fracture and extra
+    anchoring pins, and tree_apply_chain must equal tree_apply through the
+    chain permutation."""
+    import mycelium_tpu.fea.tree_jax as trj2
+    coords, conn = random_forest_mesh(seed=5)
+    cfg = FeaConfig(dtype="float64", operator="chain", use_pallas=False,
+                    grip_length=0.08, precond="tree")
+    model = build_model(coords, conn, cfg)
+    assert model.tree_fast is not None
+    N = model.n_nodes
+    rng = np.random.default_rng(55)
+    free0 = ~(np.asarray(model.top_nodes) | np.asarray(model.bot_nodes))
+    for frac, pin in ((0.0, 0.0), (0.1, 0.05)):
+        active = jnp.asarray(rng.random(model.n_elems) > frac)
+        free_now = free0 & (rng.random(N) > pin)
+        free_j = jnp.asarray(free_now)
+        reg = jnp.asarray(1e-9)
+        f_ref = trj2.tree_factor(model.tree, active, free_j, reg,
+                                 model.conn)
+        free_chain = free_j[model.chain.perm]
+        f_fast = trj2.tree_factor_fast(model.tree, model.tree_fast,
+                                       model.chain, active, free_j,
+                                       free_chain, reg, model.conn)
+        import jax as _jax
+        for a, b in zip(_jax.tree_util.tree_leaves(f_ref),
+                        _jax.tree_util.tree_leaves(f_fast)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-18)
+        # apply equivalence in chain space
+        r = rng.standard_normal((N, 3))
+        z_node = trj2.tree_apply(model.tree, f_ref, jnp.asarray(r))
+        perm = np.asarray(model.chain.perm)
+        z_chain = trj2.tree_apply_chain(model.tree, f_fast,
+                                        jnp.asarray(r[perm]))
+        np.testing.assert_allclose(np.asarray(z_chain),
+                                   np.asarray(z_node)[perm],
+                                   rtol=1e-10, atol=1e-16)
