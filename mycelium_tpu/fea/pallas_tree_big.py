@@ -453,7 +453,7 @@ def _cg_big_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
 
 def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
                           dy_top, dy_bot, x0, cfg: FeaConfig,
-                          anchored=None):
+                          anchored=None, tree_factor_val=None):
     """One boundary-value solve: XLA factorization + whole-CG kernel."""
     from .bc import prescribed_values
     from .chain import plan_active_masks
@@ -487,7 +487,9 @@ def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
     # factorization in XLA (exact; once per solve) — the gather-free fast
     # path when available, else the generic one
     reg_pc = max(cfg.reg, cfg.tree_reg_rel * tplan.meta.k_scale)
-    if getattr(model, "tree_fast", None) is not None:
+    if tree_factor_val is not None:
+        factor = tree_factor_val
+    elif getattr(model, "tree_fast", None) is not None:
         from .tree_jax import tree_factor_fast
         free_chain = free[plan.perm]
         factor = tree_factor_fast(tplan, model.tree_fast, plan, active,

@@ -84,10 +84,14 @@ def anchored_mask_device(model: FeaModel, active: jnp.ndarray) -> jnp.ndarray:
 
 
 def ramp_step(model: FeaModel, cfg: FeaConfig, active, x0, dy_top, dy_bot,
-              anchored=None):
-    """One ramp step: solve -> reactions -> stress -> fracture."""
+              anchored=None, tree_factor_val=None):
+    """One ramp step: solve -> reactions -> stress -> fracture.
+
+    ``tree_factor_val`` optionally carries a precomputed tree-PC
+    factorization (solve.compute_tree_factor) — the drivers reuse it
+    across steps whose active mask did not change."""
     res = solve_displacement(model, active, dy_top, dy_bot, x0, cfg,
-                             anchored)
+                             anchored, tree_factor_val=tree_factor_val)
     u = res.x                                            # (N,3)
     stress, active_new, total_force = post_solve(model, cfg, u, active)
     return (u, stress, active_new, total_force, res.iters, res.resnorm,
@@ -178,6 +182,15 @@ def run_ramp(coords, conn, cfg: FeaConfig,
     anchored = jnp.asarray(anchored_mask_host(
         conn_np, np.asarray(active), grip_np))
 
+    # reuse the tree-PC factorization across steps with an unchanged
+    # active mask (it dominates the cold-solve cost at 1e5+ DOF)
+    use_fac = (getattr(model, "tree_fast", None) is not None
+               and cfg.operator == "chain" and cfg.precond == "tree"
+               and model.tree_packed is None)
+    from .solve import compute_tree_factor
+    jit_fac = jax.jit(compute_tree_factor, static_argnums=(2,))
+    fac = jit_fac(model, active, cfg, anchored) if use_fac else None
+
     def _save_checkpoint(next_step):
         from ..io.checkpoint import save_ramp_state
         save_ramp_state(
@@ -202,7 +215,7 @@ def run_ramp(coords, conn, cfg: FeaConfig,
         ts = time.time()
         u, stress, active_new, total_force, iters, resnorm, converged = \
             step_jit(active, x0, jnp.asarray(dy_top, dtype),
-                     jnp.asarray(dy_bot, dtype), anchored)
+                     jnp.asarray(dy_bot, dtype), anchored, fac)
         u.block_until_ready()
         solve_secs.append(time.time() - ts)
         _check_converged(converged, step, resnorm)
@@ -220,8 +233,11 @@ def run_ramp(coords, conn, cfg: FeaConfig,
         active_new_np = np.asarray(active_new)
         if not np.array_equal(active_new_np, np.asarray(active)):
             # fracture changed the topology: refresh grip reachability
+            # and the tree-PC factorization
             anchored = jnp.asarray(
                 anchored_mask_host(conn_np, active_new_np, grip_np))
+            if use_fac:
+                fac = jit_fac(model, active_new, cfg, anchored)
         u_prev, active, prev_factor = u, active_new, factor
         if checkpoint_path is not None and checkpoint_every > 0 \
                 and (step + 1 - start_step) % checkpoint_every == 0:
@@ -245,15 +261,22 @@ def _scan_ramp(model: FeaModel, cfg: FeaConfig):
     dtype = model.coords.dtype
     factors = (jnp.arange(cfg.n_steps, dtype=dtype) / (cfg.n_steps - 1))
 
+    use_fac = (getattr(model, "tree_fast", None) is not None
+               and cfg.operator == "chain" and cfg.precond == "tree"
+               and model.tree_packed is None)
+    from .solve import compute_tree_factor
+
     def body(carry, factor):
-        active, u_prev, prev_factor, anchored = carry
+        active, u_prev, prev_factor, anchored, fac = carry
         dy_top = cfg.displacement_max * factor
         scale = jnp.where(prev_factor > 0, factor
                           / jnp.where(prev_factor > 0, prev_factor, 1.0), 0.0)
         x0 = u_prev * scale if cfg.warm_start else jnp.zeros_like(u_prev)
         u, stress, active_new, total_force, iters, resnorm, converged = \
-            ramp_step(model, cfg, active, x0, dy_top, -dy_top, anchored)
-        # refresh grip reachability only when fracture changed the topology
+            ramp_step(model, cfg, active, x0, dy_top, -dy_top, anchored,
+                      fac)
+        # refresh grip reachability (and the tree-PC factorization) only
+        # when fracture changed the topology
         if model.tree is not None:
             # tree-accelerated sweep: whole hyphae per fixpoint round
             # instead of one hop (~7x fewer sweeps than the plain BFS)
@@ -261,9 +284,15 @@ def _scan_ramp(model: FeaModel, cfg: FeaConfig):
             recompute = lambda: tree_anchored(model.tree, model, active_new)  # noqa: E731
         else:
             recompute = lambda: anchored_mask_device(model, active_new)  # noqa: E731
-        anchored = jax.lax.cond(
-            jnp.any(active_new != active), recompute, lambda: anchored)
-        carry = (active_new, u, factor, anchored)
+        changed = jnp.any(active_new != active)
+        anchored = jax.lax.cond(changed, recompute, lambda: anchored)
+        if use_fac:
+            fac = jax.lax.cond(
+                changed,
+                lambda: compute_tree_factor(model, active_new, cfg,
+                                            anchored),
+                lambda: fac)
+        carry = (active_new, u, factor, anchored, fac)
         return carry, (stress, active_new, u.reshape(-1),
                        jnp.stack([2 * dy_top, total_force]), iters,
                        converged)
@@ -274,10 +303,12 @@ def _scan_ramp(model: FeaModel, cfg: FeaConfig):
         anch0 = tree_anchored(model.tree, model, all_active)
     else:
         anch0 = anchored_mask_device(model, all_active)
+    fac0 = compute_tree_factor(model, all_active, cfg, anch0) \
+        if use_fac else None
     init = (all_active,
             jnp.zeros((model.n_nodes, 3), dtype=dtype),
             jnp.zeros((), dtype),
-            anch0)
+            anch0, fac0)
     _, out = jax.lax.scan(body, init, factors)
     return out
 

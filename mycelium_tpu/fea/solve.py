@@ -298,16 +298,38 @@ def gmres(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 SOLVERS = {"cg": pcg, "bicgstab": bicgstab, "gmres": gmres}
 
 
+def compute_tree_factor(model: FeaModel, active, cfg: FeaConfig,
+                        anchored=None):
+    """The per-solve tree-PC factorization (fast path), exposed so ramp
+    drivers can REUSE it across steps whose active mask did not change —
+    between fracture events the factorization is step-invariant and
+    dominates the cold-solve cost at 1e5+ DOF."""
+    from .tree_jax import tree_factor_fast
+    free = model.free_nodes if anchored is None \
+        else jnp.logical_and(model.free_nodes, anchored)
+    free_p = free[model.chain.perm]
+    reg_pc = max(cfg.reg, cfg.tree_reg_rel * model.tree.meta.k_scale)
+    return tree_factor_fast(model.tree, model.tree_fast, model.chain,
+                            active, free, free_p,
+                            jnp.asarray(reg_pc, model.coords.dtype),
+                            model.conn)
+
+
 def solve_displacement(model: FeaModel, active: jnp.ndarray,
                        dy_top, dy_bot, x0: jnp.ndarray,
                        cfg: FeaConfig,
-                       anchored: jnp.ndarray | None = None) -> SolveResult:
+                       anchored: jnp.ndarray | None = None,
+                       tree_factor_val=None) -> SolveResult:
     """One boundary-value solve of the ramp: K_ff u_f = −K_fk u_k.
 
     ``anchored`` (n_nodes,) marks nodes still connected to a grip through
     active elements; unanchored free nodes are pinned to zero, which is
     exactly the direct solver's answer for them (their b is 0) and keeps the
     effective operator's spectrum away from the reg·I floor.
+
+    ``tree_factor_val`` (optional) is a precomputed compute_tree_factor
+    result (XLA chain + tree_fast path only); drivers pass it to amortize
+    the factorization across ramp steps with an unchanged active mask.
     """
     from .bc import bc_operator, bc_rhs, prescribed_values
     free = model.free_nodes if anchored is None \
@@ -335,7 +357,8 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         from .pallas_tree_big import pallas_tree_big_solve
         return pallas_tree_big_solve(model, model.chain_packed,
                                      model.tree_packed_big, active,
-                                     dy_top, dy_bot, x0, cfg, anchored)
+                                     dy_top, dy_bot, x0, cfg, anchored,
+                                     tree_factor_val=tree_factor_val)
 
     if cfg.operator == "chain" and model.chain is not None \
             and cfg.use_pallas and cfg.precond != "tree" \
@@ -370,12 +393,10 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
             # chain shifts + static tables, apply directly on chain-order
             # residuals (slots are positions [0, n_slots) — slices, not
             # the two N-row permutation gathers per iteration)
-            from .tree_jax import tree_apply_chain, tree_factor_fast
-            reg_pc = max(cfg.reg,
-                         cfg.tree_reg_rel * model.tree.meta.k_scale)
-            factor = tree_factor_fast(
-                model.tree, model.tree_fast, plan, active, free, free_p,
-                jnp.asarray(reg_pc, u_k.dtype), model.conn)
+            from .tree_jax import tree_apply_chain
+            factor = (tree_factor_val if tree_factor_val is not None
+                      else compute_tree_factor(model, active, cfg,
+                                               anchored))
             if cfg.tree_coarse_weight > 0.0:
                 cc = _coarse_chain_fn(model, active, cfg, free)
                 w = float(cfg.tree_coarse_weight)
