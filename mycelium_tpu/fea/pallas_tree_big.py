@@ -1,25 +1,25 @@
-"""Hybrid whole-CG Pallas kernel for large meshes (309k+ DOF).
+"""Split-kernel solve for large meshes (309k+ DOF): XLA CG loop driving a
+Pallas matvec kernel and a Pallas tree-PC kernel.
 
-The single-kernel tree solve (pallas_tree.py) carries the PCR
-factorization — chains of 3x3-field (9-plane) products — inside the Mosaic
-program. Past ~150k DOF the register allocator assigns every one of those
-plane-sized intermediates a dedicated VMEM spill slot (~80-90 MB measured
-at 309k DOF), which busts VMEM regardless of how small the static tables
-are. This module splits the solve:
+Why not one whole-solve kernel here: Mosaic's register allocator gives
+every spilled plane-sized SSA value its own VMEM slot, and a kernel that
+contains factorization + matvec + preconditioner + CG accumulates ~350 of
+them (~80-90 MB measured at 309k DOF) — VMEM busts regardless of how small
+the static tables are. Splitting by function keeps each program's value
+count (and therefore spill scratch) small:
 
-  1. FACTORIZATION once per solve in XLA (tree_jax.tree_factor — the same
-     exact numbers, ~10-20 ms of dispatch-bound small ops at 309k DOF),
-     with the per-level (round, slot, 3, 3) coefficients reshaped into the
-     kernel's packed plane layout by _factor_planes (a handful of big
-     XLA ops);
-  2. the ENTIRE CG loop — chain matvec, forward/backward tree-PC apply,
-     vector updates — as ONE Mosaic kernel whose only 3x3-field data are
-     read-only inputs. The loop body touches vectors (3-plane tuples), so
-     register pressure stays low and the kernel fits VMEM to ~500k DOF.
+  - FACTORIZATION once per solve in XLA (tree_jax.tree_factor_fast — the
+    gather-free path), coefficients reshaped to plane layout
+    (_factor_planes);
+  - CG loop in XLA (solve.pcg on the packed plane vectors; ~10 vector ops
+    + 2 kernel launches per iteration);
+  - chain matvec as one kernel (shifts + jump one-hot matmuls);
+  - forward/backward tree-PC apply as one kernel (PCR rounds + endpoint
+    gathers/attachment scatters).
 
-Selection is by VMEM estimate in model.build_model: full kernel when it
-fits, this hybrid next, the pure-XLA path last. Uses the same unified
-chain==slot ordering and the same PackedTreeData tables (a subset).
+Uses the unified chain==slot ordering and a subset of the PackedTreeData
+tables. Selected by build_model when the single-kernel estimate exceeds
+VMEM but this one fits.
 
 Reference analogue: PETSc KSPSolve+ICC at scale
 (src/fea_petsc_parallel.cpp:336-351 is the reference's answer to big
@@ -45,13 +45,9 @@ HI = lax.Precision.HIGHEST
 
 
 def hybrid_vmem_bytes(schedule, n_nodes: int) -> int:
-    """VMEM estimate for the hybrid CG kernel (tables + inputs + scratch).
-
-    Dominant terms: the PCR coefficient INPUTS (2*r*9 slot planes) and the
-    jump/endpoint one-hot tables — all linear-ish in mesh size. No
-    9-tuple factorization lives in-kernel, so the residual-spill allowance
-    is small.
-    """
+    """VMEM estimate for the LARGER of the two split kernels (the PC
+    apply): coefficient inputs + endpoint tables + a modest spill
+    allowance (its body is vector 3-tuples, not 3x3 fields)."""
     from .pallas_cg import plan_nb
     from .pallas_tree import tree_slot_blocks
     levels = schedule.levels
@@ -70,11 +66,9 @@ def hybrid_vmem_bytes(schedule, n_nodes: int) -> int:
         2 * max(r_star, 1) * 9 * Sp     # ascr/bscr inputs
         + 9 * Sp + 2 * 9 * Pp           # dinv, ab0/ab1 inputs
         + L * Sp + L * Pp               # lvm, pvm
+        + 2 * 3 * nbc * BLOCK           # r in, z out
         + 3 * nbc * BLOCK               # slotcov
-        + 7 * 3 * nbc * BLOCK           # uk/x0/freem/cn/ckax/ckbd/cact in
-        + 2 * 9 * nbc * BLOCK           # chain_scr + cg_scr
-        + 3 * nbc * BLOCK               # x_out
-        + 20 * Sp                       # live temporaries / residual spills
+        + 80 * Sp                       # spill allowance (vector tuples)
         + 2 * 1024 * (NBt + BLOCK)      # chunk upcast transients
     )
     bf16s = (
@@ -86,13 +80,11 @@ def hybrid_vmem_bytes(schedule, n_nodes: int) -> int:
 
 
 def _factor_planes(tplan, factor, nbt: int, npb: int, r_star: int):
-    """Reshape tree_jax.TreeFactor into the kernel's packed plane layout.
+    """Reshape tree_jax.TreeFactor into the kernels' packed plane layout.
 
     Returns (ascr, bscr) (r*9*NBt, 128), dinv9 (9*NBt, 128) and
     attB0/attB1 (9*NPb, 128). Rounds a level did not run are zero, which
-    makes the kernel's global r_star-round pcr_update a no-op there —
-    identical semantics to the full kernel's level-masked coefficients.
-    """
+    makes the global r_star-round pcr_update a no-op there."""
     meta = tplan.meta
     L = len(meta.level_steps)
     S_tot = tplan.n_slots
@@ -101,7 +93,6 @@ def _factor_planes(tplan, factor, nbt: int, npb: int, r_star: int):
     f32 = jnp.float32
 
     def pack_rounds(parts):
-        # parts[li]: (steps_li, S_li, 3, 3) -> (r_star, S_tot, 3, 3)
         padded = []
         for li in range(L):
             p = parts[li].astype(f32)
@@ -131,22 +122,100 @@ def _factor_planes(tplan, factor, nbt: int, npb: int, r_star: int):
 
 
 # ---------------------------------------------------------------------------
-# kernel: the CG loop only (factorization arrives as inputs)
+# matvec kernel: BC'd K·u on packed chain planes
 # ---------------------------------------------------------------------------
 
-def _cg_big_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
-                   reg,
-                   uk_ref, x0_ref, freem_ref, cact_ref, cn_ref, ckax_ref,
-                   ckbd_ref, ab_blk_ref, ab_lane_ref, jscal_ref, jact_ref,
-                   ascr_ref, bscr_ref, dinv_ref, ab0_ref, ab1_ref,
-                   lvm_ref, pvm_ref,
-                   fl_blk_ref, fl_lane_ref, at_blk_ref, at_lane_ref,
-                   idp_blk_ref, idp_lane_ref, id2p_blk_ref, id2p_lane_ref,
-                   slotcov_ref,
-                   x_out_ref, stats_ref,
-                   chain_scr, cg_scr):
+def _matvec_kernel(nbc, jp, reg, bc,
+                   u_ref, freem_ref, cnm_ref, ckaxm_ref, ckbdm_ref,
+                   ab_blk_ref, ab_lane_ref, jscal_ref, jact_ref,
+                   out_ref):
+    """bc=True: the SPD BC'd operator freem*(K(freem u)+reg freem u)+pin u.
+    bc=False: raw K·u on the full vector (the RHS needs -K_fk·u_k, i.e.
+    pinned COLUMNS kept)."""
     f32 = jnp.float32
     from .pallas_cg import JUMP_CHUNK
+    c_lane = lax.broadcasted_iota(jnp.int32, (3 * nbc, BLOCK), 1)
+    last_lane = c_lane == BLOCK - 1
+    first_lane = c_lane == 0
+    n_chunks = jp // JUMP_CHUNK
+    contract0 = (((0,), (0,)), ((), ()))
+
+    def roll(x, shift, axis):
+        return pltpu.roll(x, shift % x.shape[axis], axis)
+
+    def shift_up_c(x):
+        a = roll(x, -1, 1)
+        b = roll(a, -1, 0)
+        return jnp.where(last_lane, b, a)
+
+    def shift_down_c(x):
+        a = roll(x, 1, 1)
+        b = roll(a, 1, 0)
+        return jnp.where(first_lane, b, a)
+
+    def plane_sum(s):
+        return (s[0 * nbc:1 * nbc] + s[1 * nbc:2 * nbc]
+                + s[2 * nbc:3 * nbc])
+
+    def tile3c(p):
+        return jnp.concatenate([p, p, p], axis=0)
+
+    freem = freem_ref[:]
+    uf = freem * u_ref[:] if bc else u_ref[:]
+    cn = cnm_ref[:]
+    d = uf - shift_up_c(uf)
+    nd = tile3c(plane_sum(cn * d))
+    fx = ckaxm_ref[:] * nd * cn + ckbdm_ref[:] * (d - nd * cn)
+    out = fx - shift_down_c(fx)
+    u_planes = (uf[0 * nbc:1 * nbc], uf[1 * nbc:2 * nbc],
+                uf[2 * nbc:3 * nbc])
+
+    def chunk_body(ci, out):
+        sl2 = pl.ds(ci * 2 * JUMP_CHUNK, 2 * JUMP_CHUNK)
+        slp = pl.ds(ci * JUMP_CHUNK, JUMP_CHUNK)
+        ab_blk = ab_blk_ref[sl2, :].astype(f32)
+        ab_lane = ab_lane_ref[sl2, :].astype(f32)
+        jscal = jscal_ref[slp, :]
+        jact1 = jact_ref[slp, :][:, 0:1]
+        jn = (jscal[:, 0:1], jscal[:, 1:2], jscal[:, 2:3])
+        jkax = jscal[:, 3:4] * jact1
+        jkbd = jscal[:, 4:5] * jact1
+        dj = []
+        for k in range(3):
+            t = jnp.dot(ab_blk, u_planes[k], precision=HI,
+                        preferred_element_type=f32)
+            sel = jnp.sum(t * ab_lane, axis=1, keepdims=True)
+            dj.append(sel[:JUMP_CHUNK] - sel[JUMP_CHUNK:])
+        ndj = jn[0] * dj[0] + jn[1] * dj[1] + jn[2] * dj[2]
+        diffs = []
+        for k in range(3):
+            fj = jkax * ndj * jn[k] + jkbd * (dj[k] - ndj * jn[k])
+            fj2 = jnp.concatenate([fj, -fj], axis=0)
+            diffs.append(
+                lax.dot_general(ab_blk, ab_lane * fj2, contract0,
+                                precision=HI, preferred_element_type=f32))
+        return out + jnp.concatenate(diffs, axis=0)
+
+    out = lax.fori_loop(0, n_chunks, chunk_body, out)
+    if bc:
+        out_ref[:] = freem * (out + reg * uf) + (1.0 - freem) * u_ref[:]
+    else:
+        out_ref[:] = out
+
+
+# ---------------------------------------------------------------------------
+# tree-PC apply kernel
+# ---------------------------------------------------------------------------
+
+def _precond_kernel(nbc, nbt, npb, n_levels, r_star,
+                    r_ref,
+                    ascr_ref, bscr_ref, dinv_ref, ab0_ref, ab1_ref,
+                    lvm_ref, pvm_ref,
+                    fl_blk_ref, fl_lane_ref, at_blk_ref, at_lane_ref,
+                    idp_blk_ref, idp_lane_ref, id2p_blk_ref, id2p_lane_ref,
+                    slotcov_ref,
+                    z_ref):
+    f32 = jnp.float32
 
     def read9(ref, nb, base=0):
         return tuple(ref[pl.ds(base + k * nb, nb)] for k in range(9))
@@ -189,43 +258,48 @@ def _cg_big_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
 
     contract0 = (((0,), (0,)), ((), ()))
     RCHUNK = 1024
+    idp = (idp_blk_ref, idp_lane_ref)
+    id2p = (id2p_blk_ref, id2p_lane_ref)
+    pp = npb * BLOCK
 
     def _move(blk_ref, lane_ref, id_pair, src_plane, dst_shape, row0,
               n_rows):
-        out = jnp.zeros(dst_shape, f32)
-        for c0 in range(0, n_rows, RCHUNK):
-            n = min(RCHUNK, n_rows - c0)
-            sl = pl.ds(row0 + c0, n)
+        # chunked as a fori_loop (NOT python-unrolled): every unrolled
+        # chunk would mint its own plane-sized SSA values, each of which
+        # Mosaic gives a dedicated spill slot
+        n_ch = (n_rows + RCHUNK - 1) // RCHUNK
+
+        def body(ci, out):
+            sl = pl.ds(row0 + ci * RCHUNK, RCHUNK)
             tmp = jnp.dot(blk_ref[sl, :].astype(f32), src_plane,
                           precision=HI, preferred_element_type=f32)
             vals = jnp.sum(tmp * lane_ref[sl, :].astype(f32), axis=1,
                            keepdims=True)
-            out = out + lax.dot_general(
-                id_pair[0][pl.ds(c0, n), :].astype(f32),
-                id_pair[1][pl.ds(c0, n), :].astype(f32) * vals,
+            return out + lax.dot_general(
+                id_pair[0][pl.ds(ci * RCHUNK, RCHUNK), :].astype(f32),
+                id_pair[1][pl.ds(ci * RCHUNK, RCHUNK), :].astype(f32)
+                * vals,
                 contract0, precision=HI, preferred_element_type=f32)
-        return out
+
+        return lax.fori_loop(0, n_ch, body, jnp.zeros(dst_shape, f32))
 
     def _move_back(blk_ref, lane_ref, id_pair, src_plane, dst_shape, row0,
                    n_rows):
-        out = jnp.zeros(dst_shape, f32)
-        for c0 in range(0, n_rows, RCHUNK):
-            n = min(RCHUNK, n_rows - c0)
-            sl = pl.ds(row0 + c0, n)
-            isl = pl.ds(c0, n)
+        n_ch = (n_rows + RCHUNK - 1) // RCHUNK
+
+        def body(ci, out):
+            sl = pl.ds(row0 + ci * RCHUNK, RCHUNK)
+            isl = pl.ds(ci * RCHUNK, RCHUNK)
             tmp = jnp.dot(id_pair[0][isl, :].astype(f32), src_plane,
                           precision=HI, preferred_element_type=f32)
             vals = jnp.sum(tmp * id_pair[1][isl, :].astype(f32), axis=1,
                            keepdims=True)
-            out = out + lax.dot_general(
+            return out + lax.dot_general(
                 blk_ref[sl, :].astype(f32),
                 lane_ref[sl, :].astype(f32) * vals,
                 contract0, precision=HI, preferred_element_type=f32)
-        return out
 
-    idp = (idp_blk_ref, idp_lane_ref)
-    id2p = (id2p_blk_ref, id2p_lane_ref)
-    pp = npb * BLOCK
+        return lax.fori_loop(0, n_ch, body, jnp.zeros(dst_shape, f32))
 
     def gather_vec(blk_ref, lane_ref, dst_id, v, dst_nb, row0=0,
                    n_rows=None):
@@ -240,85 +314,6 @@ def _cg_big_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
                                 (dst_nb, BLOCK), row0, n_rows)
                      for comp in v)
 
-    # ---------------- chain matvec (see pallas_cg.py) ----------------
-    cact = cact_ref[:]
-    chain_scr[pl.ds(0, 3 * nbc)] = cn_ref[:] * cact
-    chain_scr[pl.ds(3 * nbc, 3 * nbc)] = ckax_ref[:] * cact
-    chain_scr[pl.ds(6 * nbc, 3 * nbc)] = ckbd_ref[:] * cact
-    c_rows = 3 * nbc
-    c_lane = lax.broadcasted_iota(jnp.int32, (c_rows, BLOCK), 1)
-    last_lane = c_lane == BLOCK - 1
-    first_lane = c_lane == 0
-    n_chunks = jp // JUMP_CHUNK
-
-    def roll(x, shift, axis):
-        return pltpu.roll(x, shift % x.shape[axis], axis)
-
-    def shift_up_c(x):
-        a = roll(x, -1, 1)
-        b = roll(a, -1, 0)
-        return jnp.where(last_lane, b, a)
-
-    def shift_down_c(x):
-        a = roll(x, 1, 1)
-        b = roll(a, 1, 0)
-        return jnp.where(first_lane, b, a)
-
-    def plane_sum(s):
-        return (s[0 * nbc:1 * nbc] + s[1 * nbc:2 * nbc]
-                + s[2 * nbc:3 * nbc])
-
-    def tile3c(p):
-        return jnp.concatenate([p, p, p], axis=0)
-
-    def matvec_raw(u):
-        cn = chain_scr[pl.ds(0, 3 * nbc)]
-        ckax = chain_scr[pl.ds(3 * nbc, 3 * nbc)]
-        ckbd = chain_scr[pl.ds(6 * nbc, 3 * nbc)]
-        d = u - shift_up_c(u)
-        nd = tile3c(plane_sum(cn * d))
-        fx = ckax * nd * cn + ckbd * (d - nd * cn)
-        out = fx - shift_down_c(fx)
-        u_planes = (u[0 * nbc:1 * nbc], u[1 * nbc:2 * nbc],
-                    u[2 * nbc:3 * nbc])
-
-        def chunk_body(ci, out):
-            sl2 = pl.ds(ci * 2 * JUMP_CHUNK, 2 * JUMP_CHUNK)
-            slp = pl.ds(ci * JUMP_CHUNK, JUMP_CHUNK)
-            ab_blk = ab_blk_ref[sl2, :].astype(f32)
-            ab_lane = ab_lane_ref[sl2, :].astype(f32)
-            jscal = jscal_ref[slp, :]
-            jact1 = jact_ref[slp, :][:, 0:1]
-            jn = (jscal[:, 0:1], jscal[:, 1:2], jscal[:, 2:3])
-            jkax = jscal[:, 3:4] * jact1
-            jkbd = jscal[:, 4:5] * jact1
-            dj = []
-            for k in range(3):
-                t = jnp.dot(ab_blk, u_planes[k], precision=HI,
-                            preferred_element_type=f32)
-                sel = jnp.sum(t * ab_lane, axis=1, keepdims=True)
-                dj.append(sel[:JUMP_CHUNK] - sel[JUMP_CHUNK:])
-            ndj = jn[0] * dj[0] + jn[1] * dj[1] + jn[2] * dj[2]
-            diffs = []
-            for k in range(3):
-                fj = jkax * ndj * jn[k] + jkbd * (dj[k] - ndj * jn[k])
-                fj2 = jnp.concatenate([fj, -fj], axis=0)
-                diffs.append(
-                    lax.dot_general(ab_blk, ab_lane * fj2, contract0,
-                                    precision=HI,
-                                    preferred_element_type=f32))
-            return out + jnp.concatenate(diffs, axis=0)
-
-        return lax.fori_loop(0, n_chunks, chunk_body, out)
-
-    def matvec(u):
-        freem = freem_ref[:]
-        uf = freem * u
-        return freem * (matvec_raw(uf) + reg * uf) + (1.0 - freem) * u
-
-    # ---------------- tree-PC apply ----------------
-    zero_s = jnp.zeros((nbt, BLOCK), f32)
-
     def pcr_update(rv, lvm):
         def round_body(k, rv):
             s = jnp.int32(1) << k
@@ -331,134 +326,76 @@ def _cg_big_kernel(nbc, nbt, npb, n_levels, r_star, jp, max_iter, rtol,
         dinv = read9(dinv_ref, nbt)
         return tuple(lvm * y for y in mv(dinv, rv))
 
-    def chain_to_slots(r_chain):
-        return tuple(r_chain[c * nbc:c * nbc + nbt] for c in range(3))
+    zero_s = jnp.zeros((nbt, BLOCK), f32)
+    r_chain = r_ref[:]
+    rs = tuple(r_chain[c * nbc:c * nbc + nbt] for c in range(3))
+    zs3 = (zero_s, zero_s, zero_s)
+    attB0 = read9(ab0_ref, npb)
+    attB1 = read9(ab1_ref, npb)
 
+    def fwd_body(li, c):
+        rs, y_all = c
+        lvm = lvm_ref[pl.ds(li * nbt, nbt)]
+        pvm = pvm_ref[pl.ds(li * npb, npb)]
+        y = pcr_update(rs, lvm)
+        y_all = madd(y_all, y)
+        g = gather_vec(fl_blk_ref, fl_lane_ref, id2p, y, 2 * npb)
+        g0 = tuple(comp[:npb] for comp in g)
+        g1 = tuple(comp[npb:] for comp in g)
+        corr0 = tuple(pvm * z for z in mv(attB0, g0))
+        corr1 = tuple(pvm * z for z in mv(attB1, g1))
+        sc0 = scatter_vec(at_blk_ref, at_lane_ref, idp, corr0, nbt,
+                          row0=0, n_rows=pp)
+        sc1 = scatter_vec(at_blk_ref, at_lane_ref, idp, corr1, nbt,
+                          row0=pp, n_rows=pp)
+        rs = tuple(r - a - b for r, a, b in zip(rs, sc0, sc1))
+        return (rs, y_all)
+
+    rs, y_all = lax.fori_loop(0, n_levels, fwd_body, (rs, zs3))
+
+    def bwd_body(i, u_all):
+        li = n_levels - 1 - i
+        lvm = lvm_ref[pl.ds(li * nbt, nbt)]
+        pvm = pvm_ref[pl.ds(li * npb, npb)]
+        uj = gather_vec(at_blk_ref, at_lane_ref, id2p, u_all, 2 * npb)
+        uj0 = tuple(comp[:npb] for comp in uj)
+        uj1 = tuple(comp[npb:] for comp in uj)
+        z0 = tuple(pvm * z for z in mv(m_t(attB0), uj0))
+        z1 = tuple(pvm * z for z in mv(m_t(attB1), uj1))
+        zs0 = scatter_vec(fl_blk_ref, fl_lane_ref, idp, z0, nbt,
+                          row0=0, n_rows=pp)
+        zs1 = scatter_vec(fl_blk_ref, fl_lane_ref, idp, z1, nbt,
+                          row0=pp, n_rows=pp)
+        zs = madd(zs0, zs1)
+        u = tuple(lvm * (ya - pc)
+                  for ya, pc in zip(y_all, pcr_update(zs, lvm)))
+        return madd(u_all, u)
+
+    u_all = lax.fori_loop(0, n_levels, bwd_body, zs3)
     if nbc > nbt:
         zpad = jnp.zeros((nbc - nbt, BLOCK), f32)
-
-        def slots_to_chain(v):
-            return jnp.concatenate([jnp.concatenate([v[c], zpad], axis=0)
-                                    for c in range(3)], axis=0)
+        z = jnp.concatenate(
+            [jnp.concatenate([u_all[c], zpad], axis=0) for c in range(3)],
+            axis=0)
     else:
-        def slots_to_chain(v):
-            return jnp.concatenate(list(v), axis=0)
-
-    def precond(r_chain):
-        rs = chain_to_slots(r_chain)
-        zs3 = (zero_s, zero_s, zero_s)
-        attB0 = read9(ab0_ref, npb)
-        attB1 = read9(ab1_ref, npb)
-
-        def fwd_body(li, c):
-            rs, y_all = c
-            lvm = lvm_ref[pl.ds(li * nbt, nbt)]
-            pvm = pvm_ref[pl.ds(li * npb, npb)]
-            y = pcr_update(rs, lvm)
-            y_all = madd(y_all, y)
-            g = gather_vec(fl_blk_ref, fl_lane_ref, id2p, y, 2 * npb)
-            g0 = tuple(comp[:npb] for comp in g)
-            g1 = tuple(comp[npb:] for comp in g)
-            corr0 = tuple(pvm * z for z in mv(attB0, g0))
-            corr1 = tuple(pvm * z for z in mv(attB1, g1))
-            sc0 = scatter_vec(at_blk_ref, at_lane_ref, idp, corr0, nbt,
-                              row0=0, n_rows=pp)
-            sc1 = scatter_vec(at_blk_ref, at_lane_ref, idp, corr1, nbt,
-                              row0=pp, n_rows=pp)
-            rs = tuple(r - a - b for r, a, b in zip(rs, sc0, sc1))
-            return (rs, y_all)
-
-        rs, y_all = lax.fori_loop(0, n_levels, fwd_body, (rs, zs3))
-
-        def bwd_body(i, u_all):
-            li = n_levels - 1 - i
-            lvm = lvm_ref[pl.ds(li * nbt, nbt)]
-            pvm = pvm_ref[pl.ds(li * npb, npb)]
-            uj = gather_vec(at_blk_ref, at_lane_ref, id2p, u_all, 2 * npb)
-            uj0 = tuple(comp[:npb] for comp in uj)
-            uj1 = tuple(comp[npb:] for comp in uj)
-            z0 = tuple(pvm * z for z in mv(m_t(attB0), uj0))
-            z1 = tuple(pvm * z for z in mv(m_t(attB1), uj1))
-            zs0 = scatter_vec(fl_blk_ref, fl_lane_ref, idp, z0, nbt,
-                              row0=0, n_rows=pp)
-            zs1 = scatter_vec(fl_blk_ref, fl_lane_ref, idp, z1, nbt,
-                              row0=pp, n_rows=pp)
-            zs = madd(zs0, zs1)
-            u = tuple(lvm * (ya - pc)
-                      for ya, pc in zip(y_all, pcr_update(zs, lvm)))
-            return madd(u_all, u)
-
-        u_all = lax.fori_loop(0, n_levels, bwd_body, zs3)
-        return slots_to_chain(u_all) + r_chain * (1.0 - slotcov_ref[:])
-
-    # ---------------- CG (state in cg_scr: x / r / p) ----------------
-    def dot(a, b):
-        return jnp.sum(a * b)
-
-    def xv():
-        return cg_scr[pl.ds(0, 3 * nbc)]
-
-    def rv():
-        return cg_scr[pl.ds(3 * nbc, 3 * nbc)]
-
-    def pv():
-        return cg_scr[pl.ds(6 * nbc, 3 * nbc)]
-
-    freem = freem_ref[:]
-    uk = uk_ref[:]
-    b = (1.0 - freem) * uk - freem * matvec_raw(uk)
-    bnorm2 = dot(freem * b, freem * b)
-    tol2 = rtol * rtol * bnorm2
-
-    cg_scr[pl.ds(0, 3 * nbc)] = freem * x0_ref[:] + (1.0 - freem) * uk
-    cg_scr[pl.ds(3 * nbc, 3 * nbc)] = b - matvec(xv())
-    del freem, uk, b
-    z0 = precond(rv())
-    rz0 = dot(rv(), z0)
-    rr0 = dot(rv(), rv())
-    cg_scr[pl.ds(6 * nbc, 3 * nbc)] = z0
-    del z0
-
-    def cond(s):
-        rr, k, rz = s
-        return jnp.logical_and(k < max_iter, rr > tol2)
-
-    def body(s):
-        rr, k, rz = s
-        ap = matvec(pv())
-        pap = dot(pv(), ap)
-        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-        cg_scr[pl.ds(0, 3 * nbc)] = xv() + alpha * pv()
-        cg_scr[pl.ds(3 * nbc, 3 * nbc)] = rv() - alpha * ap
-        z = precond(rv())
-        rz_new = dot(rv(), z)
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        cg_scr[pl.ds(6 * nbc, 3 * nbc)] = z + beta * pv()
-        return (dot(rv(), rv()), k + 1, rz_new)
-
-    rr, k, rz = lax.while_loop(
-        cond, body, (rr0, jnp.asarray(0, jnp.int32), rz0))
-
-    x_out_ref[:] = xv()
-    sl = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    stats = jnp.where(sl == 0, k.astype(f32),
-                      jnp.where(sl == 1, jnp.sqrt(rr),
-                                jnp.where(sl == 2, jnp.sqrt(tol2), 0.0)))
-    stats_ref[:] = stats
+        z = jnp.concatenate(list(u_all), axis=0)
+    z_ref[:] = z + r_chain * (1.0 - slotcov_ref[:])
 
 
 # ---------------------------------------------------------------------------
-# host wrapper
+# host wrapper: XLA factorization + XLA CG over the two kernels
 # ---------------------------------------------------------------------------
 
 def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
                           dy_top, dy_bot, x0, cfg: FeaConfig,
                           anchored=None, tree_factor_val=None):
-    """One boundary-value solve: XLA factorization + whole-CG kernel."""
+    """One boundary-value solve: XLA factorization, XLA CG, split
+    matvec/precond kernels."""
     from .bc import prescribed_values
     from .chain import plan_active_masks
     from .pallas_cg import _pack_plane, _tile3, pack_vec3, unpack_vec3
-    from .tree_jax import tree_factor
+    from .solve import pcg
+    from .tree_jax import tree_factor, tree_factor_fast
 
     plan = model.chain
     tplan = model.tree
@@ -477,6 +414,9 @@ def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
     cact = _tile3(_pack_plane(chain_act.astype(f32), nbc))
     jact_col = jnp.pad(jump_act.astype(f32), (0, jp - jump_act.shape[0]))
     jact = jnp.broadcast_to(jact_col[:, None], (jp, BLOCK))
+    cnm = chain_packed.cn * cact
+    ckaxm = chain_packed.ckax * cact
+    ckbdm = chain_packed.ckbd * cact
 
     u_k = prescribed_values(model, dy_top, dy_bot).astype(f32)
     free3 = jnp.repeat(free[plan.perm].astype(f32)[:, None], 3, axis=1)
@@ -484,13 +424,11 @@ def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
     uk_p = pack_vec3(u_k[plan.perm], nbc)
     x0_p = pack_vec3(x0.astype(f32)[plan.perm], nbc)
 
-    # factorization in XLA (exact; once per solve) — the gather-free fast
-    # path when available, else the generic one
+    # factorization in XLA (gather-free fast path when available)
     reg_pc = max(cfg.reg, cfg.tree_reg_rel * tplan.meta.k_scale)
     if tree_factor_val is not None:
         factor = tree_factor_val
     elif getattr(model, "tree_fast", None) is not None:
-        from .tree_jax import tree_factor_fast
         free_chain = free[plan.perm]
         factor = tree_factor_fast(tplan, model.tree_fast, plan, active,
                                   free, free_chain,
@@ -501,37 +439,54 @@ def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
     ascr, bscr, dinv9, ab0, ab1 = _factor_planes(tplan, factor, nbt, npb,
                                                  r_star)
 
-    kernel = functools.partial(
-        _cg_big_kernel, nbc, nbt, npb, n_levels, r_star, jp,
-        cfg.max_iter, np.float32(cfg.rtol), np.float32(cfg.reg))
+    interp = jax.default_backend() == "cpu"
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    tp = tree_packed
-    inputs = (uk_p, x0_p, freem, cact,
-              chain_packed.cn, chain_packed.ckax, chain_packed.ckbd,
-              chain_packed.ab_blk, chain_packed.ab_lane,
-              chain_packed.jscal, jact,
-              ascr, bscr, dinv9, ab0, ab1,
-              tp.lvm, tp.pvm,
-              tp.fl_blk, tp.fl_lane, tp.at_blk, tp.at_lane,
-              tp.idp_blk, tp.idp_lane, tp.id2p_blk, tp.id2p_lane,
-              tp.slotcov)
-    x_p, stats = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((3 * nbc, BLOCK), f32),
-                   jax.ShapeDtypeStruct((1, 128), f32)),
-        in_specs=[vmem() for _ in range(len(inputs))],
-        out_specs=(vmem(), vmem()),
-        scratch_shapes=[
-            pltpu.VMEM((9 * nbc, BLOCK), f32),   # chain coeffs (masked)
-            pltpu.VMEM((9 * nbc, BLOCK), f32),   # CG x/r/p
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024),
-        interpret=jax.default_backend() == "cpu",
-    )(*inputs)
+    params = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
 
-    x = unpack_vec3(x_p, n, nbc)[plan.inv_perm]
-    iters = stats[0, 0].astype(jnp.int32)
-    rnorm = stats[0, 1]
-    return SolveResult(x=x.astype(model.coords.dtype), iters=iters,
-                       resnorm=rnorm, converged=rnorm <= stats[0, 2])
+    mv_consts = (freem, cnm, ckaxm, ckbdm, chain_packed.ab_blk,
+                 chain_packed.ab_lane, chain_packed.jscal, jact)
+
+    def _mv_call(u, bc):
+        kernel = functools.partial(_matvec_kernel, nbc, jp,
+                                   np.float32(cfg.reg), bc)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3 * nbc, BLOCK), f32),
+            in_specs=[vmem() for _ in range(1 + len(mv_consts))],
+            out_specs=vmem(),
+            compiler_params=params,
+            interpret=interp,
+        )(u, *mv_consts)
+
+    def operator(u):
+        return _mv_call(u, True)
+
+    tp = tree_packed
+    pc_kernel = functools.partial(_precond_kernel, nbc, nbt, npb,
+                                  n_levels, r_star)
+    pc_consts = (ascr, bscr, dinv9, ab0, ab1, tp.lvm, tp.pvm,
+                 tp.fl_blk, tp.fl_lane, tp.at_blk, tp.at_lane,
+                 tp.idp_blk, tp.idp_lane, tp.id2p_blk, tp.id2p_lane,
+                 tp.slotcov)
+
+    def precond(r):
+        return pl.pallas_call(
+            pc_kernel,
+            out_shape=jax.ShapeDtypeStruct((3 * nbc, BLOCK), f32),
+            in_specs=[vmem() for _ in range(1 + len(pc_consts))],
+            out_specs=vmem(),
+            compiler_params=params,
+            interpret=interp,
+        )(r, *pc_consts)
+
+    # XLA CG on the packed plane vectors (same pcg as the pure-XLA path);
+    # b = pin*uk - free*(K uk) with RAW K (pinned columns kept)
+    pinm = 1.0 - freem
+    b = pinm * uk_p - freem * _mv_call(uk_p, False)
+    x_start = freem * x0_p + pinm * uk_p
+    bnorm = jnp.sqrt(jnp.sum((freem * b) ** 2))
+    res = pcg(operator, b, x_start, precond, cfg.rtol, cfg.atol,
+              cfg.max_iter, bnorm=bnorm)
+    x = unpack_vec3(res.x, n, nbc)[plan.inv_perm]
+    return SolveResult(x=x.astype(model.coords.dtype), iters=res.iters,
+                       resnorm=res.resnorm, converged=res.converged)
