@@ -55,7 +55,10 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
         t0 = time.time()
         model = build_model(coords, conn, cfg)
         build_s = time.time() - t0
-        use_pallas = model.tree_packed is not None
+        use_pallas = (model.tree_packed is not None
+                      or getattr(model, "tree_packed_big", None) is not None)
+        pallas_mode = ("single" if model.tree_packed is not None else
+                       "hybrid" if use_pallas else "xla")
         grip = np.asarray(model.top_nodes) | np.asarray(model.bot_nodes)
         anchored = jnp.asarray(anchored_mask_host(
             np.asarray(model.conn), np.ones(model.n_elems, bool), grip))
@@ -63,26 +66,62 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
         x0 = jnp.zeros((model.n_nodes, 3), jnp.float32)
         dy = jnp.asarray(0.02, jnp.float32)
 
-        @jax.jit
-        def chained(model, active, anchored, x0):
-            def body(carry, _):
-                # make the active mask depend on the carry so XLA cannot
-                # hoist the per-solve factorization out of the scan: every
-                # chained solve is a TRUE cold solve (setup included)
-                act = active & jnp.isfinite(carry[0, 0])
-                res = solve_displacement(model, act, dy, -dy,
-                                         carry * 1e-30, cfg, anchored)
-                return res.x, res.iters
-            return jax.lax.scan(body, x0, None, length=n_chain)
+        use_big = getattr(model, "tree_packed_big", None) is not None
+        if use_big:
+            # Large-mesh hybrid path: cold solves are chained on the host
+            # as the production two-program composition (ramp.run_ramp):
+            # a jitted tree factorization + a jitted CG step. Dispatches
+            # are async and dependent (each factorization reads the
+            # previous solution), so the chain still times true
+            # back-to-back cold solves.
+            from ..fea.solve import compute_tree_factor
+            jit_fac = jax.jit(compute_tree_factor, static_argnums=(2,))
 
-        xl, iters = chained(model, active, anchored, x0)
-        jax.block_until_ready(xl)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+            @jax.jit
+            def one_solve(model, act, anchored, x0, fac):
+                res = solve_displacement(model, act, dy, -dy, x0, cfg,
+                                         anchored, tree_factor_val=fac)
+                return res.x, res.iters
+
+            def chained_host(k):
+                xc, it = x0, None
+                for _ in range(k):
+                    act = active & jnp.isfinite(xc[0, 0])
+                    fac = jit_fac(model, act, cfg, anchored)
+                    xc, it = one_solve(model, act, anchored, xc * 1e-30,
+                                       fac)
+                jax.block_until_ready(xc)
+                return xc, it
+
+            _, iters = chained_host(2)          # compile both programs
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, iters = chained_host(n_chain)
+                ts.append((time.perf_counter() - t0) / n_chain)
+            iters = jnp.broadcast_to(iters, (n_chain,))
+        else:
+            @jax.jit
+            def chained(model, active, anchored, x0):
+                def body(carry, _):
+                    # make the active mask depend on the carry so XLA
+                    # cannot hoist the per-solve factorization out of the
+                    # scan: every chained solve is a TRUE cold solve
+                    # (setup included)
+                    act = active & jnp.isfinite(carry[0, 0])
+                    res = solve_displacement(model, act, dy, -dy,
+                                             carry * 1e-30, cfg, anchored)
+                    return res.x, res.iters
+                return jax.lax.scan(body, x0, None, length=n_chain)
+
             xl, iters = chained(model, active, anchored, x0)
             jax.block_until_ready(xl)
-            ts.append((time.perf_counter() - t0) / n_chain)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                xl, iters = chained(model, active, anchored, x0)
+                jax.block_until_ready(xl)
+                ts.append((time.perf_counter() - t0) / n_chain)
         per_solve = float(np.median(ts))
         row = {
             "n_dof": n_dof,
@@ -90,6 +129,7 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
             "solves_per_sec": round(1.0 / per_solve, 2),
             "cg_iters": int(np.asarray(iters)[-1]),
             "pallas": use_pallas,
+            "pallas_mode": pallas_mode,
             "plan_build_s": round(build_s, 2),
         }
         from .roofline import roofline_row

@@ -137,6 +137,16 @@ class FeaConfig:
                                        # term (2*r*9 coefficient planes)
                                        # scales with, and keeps its shifts
                                        # within one plane row
+    tree_dense_tail: int = 1024        # fold trailing elimination levels
+                                       # whose combined slot count is below
+                                       # this into ONE dense junction-Schur
+                                       # inverse (0 = pure PCR): the tail
+                                       # levels are tiny (9/2-slot shapes at
+                                       # 103k nodes) and their unrolled op
+                                       # chains stall the XLA TPU compile
+                                       # superlinearly past ~50k nodes,
+                                       # while a <=3k-dim dense inverse is
+                                       # one MXU matvec per PC apply
     operator: str = "ell"              # 'ell' (gather-only SpMV) | 'scatter'
                                        # | 'chain' (shift+MXU, TPU fast path)
     use_pallas: bool = False           # run the whole PCG in one Pallas

@@ -50,10 +50,11 @@ class FeaModel(NamedTuple):
     tree_packed: object = None  # Optional[pallas_tree.PackedTreeData] —
                                 # VMEM tables for the in-kernel tree PC
                                 # (single-kernel factor+solve mode)
-    tree_packed_big: object = None  # same PackedTreeData, hybrid mode:
-                                    # XLA factorization + whole-CG kernel
-                                    # (pallas_tree_big) for meshes whose
-                                    # in-kernel factorization busts VMEM
+    tree_packed_big: object = None  # True marks hybrid mode: XLA
+                                    # factorization/CG/PC + chain-matvec
+                                    # kernel (pallas_tree_big) for meshes
+                                    # whose in-kernel factorization busts
+                                    # VMEM (no extra packed tables needed)
     tree_fast: object = None    # Optional[tree_jax.FastFactorData] —
                                 # static tables for the gather-free
                                 # factorization (unified ordering only)
@@ -196,7 +197,8 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         from .tree import KIND_ELEM, KIND_FILL, element_k3
         from .tree_jax import FastFactorData, FastMeta, build_tree_plan
         k3 = element_k3(n_host, k_ax_host, k_bd_host)
-        tree_plan = build_tree_plan(schedule, k3, dtype)
+        tree_plan = build_tree_plan(schedule, k3, dtype,
+                                    dense_tail=cfg.tree_dense_tail)
         if unified_perm is not None and schedule.levels:
             # static tables for the gather-free factorization: f32 row
             # gathers/scatters at 1e5 rows cost 30-90 ms each on TPU and
@@ -223,7 +225,6 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
         if cfg.use_pallas and chain_packed is not None and schedule.levels:
             from .pallas_cg import chain_table_bytes
             from .pallas_tree import pack_tree_plan, tree_kernel_vmem_bytes
-            from .pallas_tree_big import hybrid_vmem_bytes
             budget = cfg.pallas_vmem_limit_mb * 2 ** 20
             chain_bytes = chain_table_bytes(chain_plan, n_nodes)
             if tree_kernel_vmem_bytes(schedule, n_nodes) \
@@ -232,14 +233,13 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
                 tree_packed = pack_tree_plan(schedule, chain_plan,
                                              n_nodes, k3,
                                              host=chain_host)
-            elif hybrid_vmem_bytes(schedule, n_nodes) \
-                    + chain_bytes < budget:
-                # factorize in XLA, run the CG loop as one kernel — the
-                # in-kernel factorization's register spills bust VMEM at
-                # this size (pallas_tree_big.py)
-                tree_packed_big = pack_tree_plan(schedule, chain_plan,
-                                                 n_nodes, k3,
-                                                 host=chain_host)
+            else:
+                # hybrid: XLA factorization + XLA CG/PC with the chain
+                # matvec as the only kernel — the in-kernel factorization's
+                # register spills bust VMEM at this size, and the matvec
+                # kernel needs only the chain tables already gated above
+                # (pallas_tree_big.py)
+                tree_packed_big = True
 
     coords_j = jnp.asarray(coords, dtype=dtype)
     conn_j = jnp.asarray(conn_np)

@@ -1,25 +1,29 @@
-"""Split-kernel solve for large meshes (309k+ DOF): XLA CG loop driving a
-Pallas matvec kernel and a Pallas tree-PC kernel.
+"""Hybrid solve for large meshes (309k+ DOF): XLA CG loop driving a
+Pallas chain-matvec kernel, with the spanning-forest PC applied in XLA.
 
 Why not one whole-solve kernel here: Mosaic's register allocator gives
 every spilled plane-sized SSA value its own VMEM slot, and a kernel that
 contains factorization + matvec + preconditioner + CG accumulates ~350 of
 them (~80-90 MB measured at 309k DOF) — VMEM busts regardless of how small
-the static tables are. Splitting by function keeps each program's value
-count (and therefore spill scratch) small:
+the static tables are. And the unrolled multi-level PCR chains stall the
+XLA TPU compile superlinearly past ~50k nodes (the trailing levels'
+9/2-slot shapes are the trigger — measured, see tree_jax.pcr_split).
+
+The hybrid therefore composes:
 
   - FACTORIZATION once per solve in XLA (tree_jax.tree_factor_fast — the
-    gather-free path), coefficients reshaped to plane layout
-    (_factor_planes);
-  - CG loop in XLA (solve.pcg on the packed plane vectors; ~10 vector ops
-    + 2 kernel launches per iteration);
-  - chain matvec as one kernel (shifts + jump one-hot matmuls);
-  - forward/backward tree-PC apply as one kernel (PCR rounds + endpoint
-    gathers/attachment scatters).
+    gather-free path): one whale-level PCR + the dense junction-Schur
+    tail inverse (meta.n_pcr levels only);
+  - CG loop in XLA (solve.pcg on the packed plane vectors);
+  - chain matvec as one kernel (shifts + jump one-hot matmuls) — the
+    only per-iteration piece where kernel launch count matters;
+  - tree-PC apply in XLA chain space (tree_jax.tree_apply_chain): one
+    PCR level of plane shifts + one dense MXU matvec, plus the optional
+    cluster coarse correction (cfg.tree_coarse_weight) that the old
+    in-kernel PC could not offer.
 
-Uses the unified chain==slot ordering and a subset of the PackedTreeData
-tables. Selected by build_model when the single-kernel estimate exceeds
-VMEM but this one fits.
+Uses the unified chain==slot ordering. Selected by build_model when the
+single-kernel estimate exceeds VMEM.
 
 Reference analogue: PETSc KSPSolve+ICC at scale
 (src/fea_petsc_parallel.cpp:336-351 is the reference's answer to big
@@ -42,83 +46,6 @@ from .chain import BLOCK
 from .solve import SolveResult
 
 HI = lax.Precision.HIGHEST
-
-
-def hybrid_vmem_bytes(schedule, n_nodes: int) -> int:
-    """VMEM estimate for the LARGER of the two split kernels (the PC
-    apply): coefficient inputs + endpoint tables + a modest spill
-    allowance (its body is vector 3-tuples, not 3x3 fields)."""
-    from .pallas_cg import plan_nb
-    from .pallas_tree import tree_slot_blocks
-    levels = schedule.levels
-    L = len(levels)
-    P_tot = sum(len(lv.first_pos) for lv in levels)
-    NBt = tree_slot_blocks(schedule)
-    NPb = ((max(P_tot // BLOCK + 1, 1) + 7) // 8) * 8
-    Sp, Pp = NBt * BLOCK, NPb * BLOCK
-    nbc = max(plan_nb(n_nodes), NBt)
-    r_star = 0
-    for lv in levels:
-        lens = lv.last_pos - lv.first_pos + 1
-        maxlen = int(lens.max()) if len(lens) else 1
-        r_star = max(r_star, int(np.ceil(np.log2(max(maxlen, 1)))))
-    f32s = (
-        2 * max(r_star, 1) * 9 * Sp     # ascr/bscr inputs
-        + 9 * Sp + 2 * 9 * Pp           # dinv, ab0/ab1 inputs
-        + L * Sp + L * Pp               # lvm, pvm
-        + 2 * 3 * nbc * BLOCK           # r in, z out
-        + 3 * nbc * BLOCK               # slotcov
-        + 80 * Sp                       # spill allowance (vector tuples)
-        + 2 * 1024 * (NBt + BLOCK)      # chunk upcast transients
-    )
-    bf16s = (
-        2 * 2 * Pp * (NBt + BLOCK)      # fl, at
-        + Pp * (NPb + BLOCK)            # idp
-        + 2 * Pp * (2 * NPb + BLOCK)    # id2p
-    )
-    return 4 * f32s + 2 * bf16s
-
-
-def _factor_planes(tplan, factor, nbt: int, npb: int, r_star: int):
-    """Reshape tree_jax.TreeFactor into the kernels' packed plane layout.
-
-    Returns (ascr, bscr) (r*9*NBt, 128), dinv9 (9*NBt, 128) and
-    attB0/attB1 (9*NPb, 128). Rounds a level did not run are zero, which
-    makes the global r_star-round pcr_update a no-op there."""
-    meta = tplan.meta
-    L = len(meta.level_steps)
-    S_tot = tplan.n_slots
-    P_tot = tplan.n_paths
-    Sp, Pp = nbt * BLOCK, npb * BLOCK
-    f32 = jnp.float32
-
-    def pack_rounds(parts):
-        padded = []
-        for li in range(L):
-            p = parts[li].astype(f32)
-            pad_r = r_star - p.shape[0]
-            if pad_r:
-                p = jnp.concatenate(
-                    [p, jnp.zeros((pad_r,) + p.shape[1:], f32)], axis=0)
-            padded.append(p)
-        allp = jnp.concatenate(padded, axis=1)          # (r, S_tot, 3, 3)
-        allp = jnp.pad(allp, ((0, 0), (0, Sp - S_tot), (0, 0), (0, 0)))
-        # row order: k-major, then (i, j), then slot plane rows
-        return jnp.transpose(allp, (0, 2, 3, 1)).reshape(
-            r_star * 9 * nbt, BLOCK)
-
-    ascr = pack_rounds(factor.alphas)
-    bscr = pack_rounds(factor.betas)
-
-    dinv = jnp.pad(factor.dinv.astype(f32), ((0, Sp - S_tot), (0, 0),
-                                             (0, 0)))
-    dinv9 = jnp.transpose(dinv, (1, 2, 0)).reshape(9 * nbt, BLOCK)
-
-    ab = jnp.pad(factor.att_b.astype(f32),
-                 ((0, Pp - P_tot), (0, 0), (0, 0), (0, 0)))
-    ab0 = jnp.transpose(ab[:, 0], (1, 2, 0)).reshape(9 * npb, BLOCK)
-    ab1 = jnp.transpose(ab[:, 1], (1, 2, 0)).reshape(9 * npb, BLOCK)
-    return ascr, bscr, dinv9, ab0, ab1
 
 
 # ---------------------------------------------------------------------------
@@ -204,209 +131,25 @@ def _matvec_kernel(nbc, jp, reg, bc,
 
 
 # ---------------------------------------------------------------------------
-# tree-PC apply kernel
+# host wrapper: XLA factorization + XLA CG over the matvec kernel
 # ---------------------------------------------------------------------------
 
-def _precond_kernel(nbc, nbt, npb, n_levels, r_star,
-                    r_ref,
-                    ascr_ref, bscr_ref, dinv_ref, ab0_ref, ab1_ref,
-                    lvm_ref, pvm_ref,
-                    fl_blk_ref, fl_lane_ref, at_blk_ref, at_lane_ref,
-                    idp_blk_ref, idp_lane_ref, id2p_blk_ref, id2p_lane_ref,
-                    slotcov_ref,
-                    z_ref):
-    f32 = jnp.float32
-
-    def read9(ref, nb, base=0):
-        return tuple(ref[pl.ds(base + k * nb, nb)] for k in range(9))
-
-    def mv(M, v):
-        return tuple(M[3 * i] * v[0] + M[3 * i + 1] * v[1]
-                     + M[3 * i + 2] * v[2] for i in range(3))
-
-    def m_t(M):
-        return (M[0], M[3], M[6], M[1], M[4], M[7], M[2], M[5], M[8])
-
-    def madd(A, B):
-        return tuple(a + b for a, b in zip(A, B))
-
-    def shift_p(x, s):
-        nr = x.shape[0]
-        t = s % BLOCK
-        q = (s // BLOCK) % nr
-        ln = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        a = pltpu.roll(x, (-t) % BLOCK, 1)
-        b0 = pltpu.roll(a, (nr - q) % nr, 0)
-        b1 = pltpu.roll(a, (nr - q - 1) % nr, 0)
-        return jnp.where(ln >= BLOCK - t, b1, b0)
-
-    def shift_m(x, s):
-        nr = x.shape[0]
-        t = s % BLOCK
-        q = (s // BLOCK) % nr
-        ln = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        a = pltpu.roll(x, t % BLOCK, 1)
-        b0 = pltpu.roll(a, q, 0)
-        b1 = pltpu.roll(a, (q + 1) % nr, 0)
-        return jnp.where(ln < t, b1, b0)
-
-    def tshift_p(T, s):
-        return tuple(shift_p(t, s) for t in T)
-
-    def tshift_m(T, s):
-        return tuple(shift_m(t, s) for t in T)
-
-    contract0 = (((0,), (0,)), ((), ()))
-    RCHUNK = 1024
-    idp = (idp_blk_ref, idp_lane_ref)
-    id2p = (id2p_blk_ref, id2p_lane_ref)
-    pp = npb * BLOCK
-
-    def _move(blk_ref, lane_ref, id_pair, src_plane, dst_shape, row0,
-              n_rows):
-        # chunked as a fori_loop (NOT python-unrolled): every unrolled
-        # chunk would mint its own plane-sized SSA values, each of which
-        # Mosaic gives a dedicated spill slot
-        n_ch = (n_rows + RCHUNK - 1) // RCHUNK
-
-        def body(ci, out):
-            sl = pl.ds(row0 + ci * RCHUNK, RCHUNK)
-            tmp = jnp.dot(blk_ref[sl, :].astype(f32), src_plane,
-                          precision=HI, preferred_element_type=f32)
-            vals = jnp.sum(tmp * lane_ref[sl, :].astype(f32), axis=1,
-                           keepdims=True)
-            return out + lax.dot_general(
-                id_pair[0][pl.ds(ci * RCHUNK, RCHUNK), :].astype(f32),
-                id_pair[1][pl.ds(ci * RCHUNK, RCHUNK), :].astype(f32)
-                * vals,
-                contract0, precision=HI, preferred_element_type=f32)
-
-        return lax.fori_loop(0, n_ch, body, jnp.zeros(dst_shape, f32))
-
-    def _move_back(blk_ref, lane_ref, id_pair, src_plane, dst_shape, row0,
-                   n_rows):
-        n_ch = (n_rows + RCHUNK - 1) // RCHUNK
-
-        def body(ci, out):
-            sl = pl.ds(row0 + ci * RCHUNK, RCHUNK)
-            isl = pl.ds(ci * RCHUNK, RCHUNK)
-            tmp = jnp.dot(id_pair[0][isl, :].astype(f32), src_plane,
-                          precision=HI, preferred_element_type=f32)
-            vals = jnp.sum(tmp * id_pair[1][isl, :].astype(f32), axis=1,
-                           keepdims=True)
-            return out + lax.dot_general(
-                blk_ref[sl, :].astype(f32),
-                lane_ref[sl, :].astype(f32) * vals,
-                contract0, precision=HI, preferred_element_type=f32)
-
-        return lax.fori_loop(0, n_ch, body, jnp.zeros(dst_shape, f32))
-
-    def gather_vec(blk_ref, lane_ref, dst_id, v, dst_nb, row0=0,
-                   n_rows=None):
-        n_rows = n_rows if n_rows is not None else blk_ref.shape[0]
-        return tuple(_move(blk_ref, lane_ref, dst_id, comp,
-                           (dst_nb, BLOCK), row0, n_rows) for comp in v)
-
-    def scatter_vec(blk_ref, lane_ref, src_id, v, dst_nb, row0=0,
-                    n_rows=None):
-        n_rows = n_rows if n_rows is not None else blk_ref.shape[0]
-        return tuple(_move_back(blk_ref, lane_ref, src_id, comp,
-                                (dst_nb, BLOCK), row0, n_rows)
-                     for comp in v)
-
-    def pcr_update(rv, lvm):
-        def round_body(k, rv):
-            s = jnp.int32(1) << k
-            a = read9(ascr_ref, nbt, k * 9 * nbt)
-            b = read9(bscr_ref, nbt, k * 9 * nbt)
-            upd = madd(mv(a, tshift_m(rv, s)), mv(b, tshift_p(rv, s)))
-            return tuple(r - lvm * u for r, u in zip(rv, upd))
-
-        rv = lax.fori_loop(0, r_star, round_body, rv)
-        dinv = read9(dinv_ref, nbt)
-        return tuple(lvm * y for y in mv(dinv, rv))
-
-    zero_s = jnp.zeros((nbt, BLOCK), f32)
-    r_chain = r_ref[:]
-    rs = tuple(r_chain[c * nbc:c * nbc + nbt] for c in range(3))
-    zs3 = (zero_s, zero_s, zero_s)
-    attB0 = read9(ab0_ref, npb)
-    attB1 = read9(ab1_ref, npb)
-
-    def fwd_body(li, c):
-        rs, y_all = c
-        lvm = lvm_ref[pl.ds(li * nbt, nbt)]
-        pvm = pvm_ref[pl.ds(li * npb, npb)]
-        y = pcr_update(rs, lvm)
-        y_all = madd(y_all, y)
-        g = gather_vec(fl_blk_ref, fl_lane_ref, id2p, y, 2 * npb)
-        g0 = tuple(comp[:npb] for comp in g)
-        g1 = tuple(comp[npb:] for comp in g)
-        corr0 = tuple(pvm * z for z in mv(attB0, g0))
-        corr1 = tuple(pvm * z for z in mv(attB1, g1))
-        sc0 = scatter_vec(at_blk_ref, at_lane_ref, idp, corr0, nbt,
-                          row0=0, n_rows=pp)
-        sc1 = scatter_vec(at_blk_ref, at_lane_ref, idp, corr1, nbt,
-                          row0=pp, n_rows=pp)
-        rs = tuple(r - a - b for r, a, b in zip(rs, sc0, sc1))
-        return (rs, y_all)
-
-    rs, y_all = lax.fori_loop(0, n_levels, fwd_body, (rs, zs3))
-
-    def bwd_body(i, u_all):
-        li = n_levels - 1 - i
-        lvm = lvm_ref[pl.ds(li * nbt, nbt)]
-        pvm = pvm_ref[pl.ds(li * npb, npb)]
-        uj = gather_vec(at_blk_ref, at_lane_ref, id2p, u_all, 2 * npb)
-        uj0 = tuple(comp[:npb] for comp in uj)
-        uj1 = tuple(comp[npb:] for comp in uj)
-        z0 = tuple(pvm * z for z in mv(m_t(attB0), uj0))
-        z1 = tuple(pvm * z for z in mv(m_t(attB1), uj1))
-        zs0 = scatter_vec(fl_blk_ref, fl_lane_ref, idp, z0, nbt,
-                          row0=0, n_rows=pp)
-        zs1 = scatter_vec(fl_blk_ref, fl_lane_ref, idp, z1, nbt,
-                          row0=pp, n_rows=pp)
-        zs = madd(zs0, zs1)
-        u = tuple(lvm * (ya - pc)
-                  for ya, pc in zip(y_all, pcr_update(zs, lvm)))
-        return madd(u_all, u)
-
-    u_all = lax.fori_loop(0, n_levels, bwd_body, zs3)
-    if nbc > nbt:
-        zpad = jnp.zeros((nbc - nbt, BLOCK), f32)
-        z = jnp.concatenate(
-            [jnp.concatenate([u_all[c], zpad], axis=0) for c in range(3)],
-            axis=0)
-    else:
-        z = jnp.concatenate(list(u_all), axis=0)
-    z_ref[:] = z + r_chain * (1.0 - slotcov_ref[:])
-
-
-# ---------------------------------------------------------------------------
-# host wrapper: XLA factorization + XLA CG over the two kernels
-# ---------------------------------------------------------------------------
-
-def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
+def pallas_tree_big_solve(model, chain_packed, active,
                           dy_top, dy_bot, x0, cfg: FeaConfig,
                           anchored=None, tree_factor_val=None):
-    """One boundary-value solve: XLA factorization, XLA CG, split
-    matvec/precond kernels."""
+    """One boundary-value solve: XLA factorization, XLA CG, Pallas chain
+    matvec, XLA tree-PC apply (PCR whale level + dense tail)."""
     from .bc import prescribed_values
     from .chain import plan_active_masks
     from .pallas_cg import _pack_plane, _tile3, pack_vec3, unpack_vec3
-    from .solve import pcg
-    from .tree_jax import tree_factor, tree_factor_fast
+    from .solve import _coarse_chain_fn, compute_tree_factor, pcg
+    from .tree_jax import tree_apply_chain
 
     plan = model.chain
-    tplan = model.tree
     n = model.n_nodes
     nbc = chain_packed.cn.shape[0] // 3
-    nbt = tree_packed.nbt
-    npb = tree_packed.npb
     jp = chain_packed.jscal.shape[0]
     f32 = jnp.float32
-    n_levels = tree_packed.n_levels
-    r_star = max(tplan.meta.level_steps) if tplan.meta.level_steps else 0
 
     free = model.free_nodes if anchored is None \
         else jnp.logical_and(model.free_nodes, anchored)
@@ -424,20 +167,9 @@ def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
     uk_p = pack_vec3(u_k[plan.perm], nbc)
     x0_p = pack_vec3(x0.astype(f32)[plan.perm], nbc)
 
-    # factorization in XLA (gather-free fast path when available)
-    reg_pc = max(cfg.reg, cfg.tree_reg_rel * tplan.meta.k_scale)
-    if tree_factor_val is not None:
-        factor = tree_factor_val
-    elif getattr(model, "tree_fast", None) is not None:
-        free_chain = free[plan.perm]
-        factor = tree_factor_fast(tplan, model.tree_fast, plan, active,
-                                  free, free_chain,
-                                  jnp.asarray(reg_pc, f32), model.conn)
-    else:
-        factor = tree_factor(tplan, active, free,
-                             jnp.asarray(reg_pc, f32), model.conn)
-    ascr, bscr, dinv9, ab0, ab1 = _factor_planes(tplan, factor, nbt, npb,
-                                                 r_star)
+    # factorization in XLA (gather-free fast path; PCR levels + dense tail)
+    factor = (tree_factor_val if tree_factor_val is not None
+              else compute_tree_factor(model, active, cfg, anchored))
 
     interp = jax.default_backend() == "cpu"
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -461,23 +193,20 @@ def pallas_tree_big_solve(model, chain_packed, tree_packed, active,
     def operator(u):
         return _mv_call(u, True)
 
-    tp = tree_packed
-    pc_kernel = functools.partial(_precond_kernel, nbc, nbt, npb,
-                                  n_levels, r_star)
-    pc_consts = (ascr, bscr, dinv9, ab0, ab1, tp.lvm, tp.pvm,
-                 tp.fl_blk, tp.fl_lane, tp.at_blk, tp.at_lane,
-                 tp.idp_blk, tp.idp_lane, tp.id2p_blk, tp.id2p_lane,
-                 tp.slotcov)
+    # tree-PC apply in XLA chain space (slots are positions [0, n_slots)
+    # — plane unpack/pack are cheap reshapes); optional coarse correction
+    if cfg.tree_coarse_weight > 0.0:
+        cc = _coarse_chain_fn(model, active, cfg, free)
+        w = float(cfg.tree_coarse_weight)
+    else:
+        cc, w = None, 0.0
 
     def precond(r):
-        return pl.pallas_call(
-            pc_kernel,
-            out_shape=jax.ShapeDtypeStruct((3 * nbc, BLOCK), f32),
-            in_specs=[vmem() for _ in range(1 + len(pc_consts))],
-            out_specs=vmem(),
-            compiler_params=params,
-            interpret=interp,
-        )(r, *pc_consts)
+        r_chain = unpack_vec3(r, n, nbc)
+        z = tree_apply_chain(model.tree, factor, r_chain)
+        if cc is not None:
+            z = z + w * cc(r_chain)
+        return pack_vec3(z, nbc)
 
     # XLA CG on the packed plane vectors (same pcg as the pure-XLA path);
     # b = pin*uk - free*(K uk) with RAW K (pinned columns kept)

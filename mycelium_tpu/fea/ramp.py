@@ -320,6 +320,16 @@ def run_ramp_scan(coords, conn, cfg: FeaConfig,
     t0 = time.time()
     if model is None:
         model = build_model(coords, conn, cfg)
+    if getattr(model, "tree_packed_big", None) is not None:
+        # Large-mesh hybrid models run the ramp as the Python-loop driver:
+        # the two-program composition (jitted factorization + jitted CG
+        # step, chained on the host) compiles in ~2 min at 309k DOF and
+        # reuses the factorization across steps with an unchanged active
+        # mask, while folding everything into one n_steps-scan would put
+        # the factorization + whole CG in a single much larger program
+        # for no wall-clock benefit (solves are 100+ ms — the ~60 us
+        # per-dispatch saving of a scan is noise at this scale).
+        return run_ramp(coords, conn, cfg, model=model)
     stress, active, disp, fd, iters, converged = _scan_ramp(model, cfg)
     jax.block_until_ready(stress)
     total = time.time() - t0

@@ -353,10 +353,10 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
             and cfg.use_pallas and cfg.precond == "tree" \
             and getattr(model, "tree_packed_big", None) is not None \
             and getattr(model, "chain_packed", None) is not None:
-        # large-mesh hybrid: factorize in XLA, whole CG loop in one kernel
+        # large-mesh hybrid: XLA factorization + XLA CG + kernel matvec,
+        # tree-PC apply in XLA (PCR whale level + dense junction tail)
         from .pallas_tree_big import pallas_tree_big_solve
-        return pallas_tree_big_solve(model, model.chain_packed,
-                                     model.tree_packed_big, active,
+        return pallas_tree_big_solve(model, model.chain_packed, active,
                                      dy_top, dy_bot, x0, cfg, anchored,
                                      tree_factor_val=tree_factor_val)
 

@@ -37,6 +37,32 @@ class TreeMeta:
     path_offsets: tuple         # path-space offset per level, + total
     level_steps: tuple          # PCR rounds per level
     k_scale: float = 1.0        # median element stiffness (reg floor ref)
+    n_pcr: int = -1             # levels eliminated by PCR; the remaining
+                                # (tiny) levels' slots are solved as ONE
+                                # dense junction-Schur inverse. -1 = all
+                                # levels PCR (no dense tail).
+
+
+def n_pcr_levels(meta: TreeMeta) -> int:
+    return len(meta.level_steps) if meta.n_pcr < 0 else meta.n_pcr
+
+
+def pcr_split(sizes, dense_tail: int) -> int:
+    """Number of leading levels kept on PCR: the trailing levels whose
+    combined slot count fits ``dense_tail`` are folded into the dense
+    junction solve. Their per-level shapes are tiny (9/2-slot at 103k
+    nodes) and the unrolled PCR chains over them stall the XLA TPU
+    compile superlinearly past ~50k nodes (measured: 33k nodes jit the
+    full factorization in 14 s, 103k nodes >40 min; the 4-level prefix
+    compiles in 18 s and adding the 9-slot level 4 hangs it)."""
+    if dense_tail <= 0:
+        return len(sizes)
+    suffix = 0
+    k = len(sizes)
+    while k > 0 and suffix + sizes[k - 1] <= dense_tail:
+        suffix += sizes[k - 1]
+        k -= 1
+    return k
 
 
 class TreePlan(NamedTuple):
@@ -58,6 +84,12 @@ class TreePlan(NamedTuple):
     att_tgt: jnp.ndarray      # (P, 2) int32 global slot of junction
                               # (sentinel S when no attachment)
     has_fill: jnp.ndarray     # (P,) bool — path produces a fill edge
+    # dense-tail assembly tables: tree-element edges whose BOTH endpoint
+    # slots live in the tail levels (slot >= level_offsets[n_pcr]),
+    # as (element id, local tail row i, local tail row j)
+    dense_eid: jnp.ndarray = None   # (Ed,) int32
+    dense_i: jnp.ndarray = None     # (Ed,) int32
+    dense_j: jnp.ndarray = None     # (Ed,) int32
 
     @property
     def n_slots(self) -> int:
@@ -69,18 +101,25 @@ class TreePlan(NamedTuple):
 
 
 class TreeFactor(NamedTuple):
-    """Per-solve numeric factorization (pytree of device arrays)."""
-    # PCR coefficients, one (steps, S_l, 3, 3) pair per level
+    """Per-solve numeric factorization (pytree of device arrays).
+
+    PCR coefficients cover only the first meta.n_pcr levels; the tail
+    levels' slots are solved through ``sinv``, the dense inverse of their
+    junction-Schur system."""
+    # PCR coefficients, one (steps, S_l, 3, 3) pair per PCR level
     alphas: tuple
     betas: tuple
-    dinv: jnp.ndarray         # (S, 3, 3) final decoupled block inverses
-    att_b: jnp.ndarray        # (P, 2, 3, 3) attachment couplings B[j, s]
+    dinv: jnp.ndarray         # (S_pcr, 3, 3) final decoupled block inverses
+    att_b: jnp.ndarray        # (P_pcr, 2, 3, 3) attachment couplings B[j,s]
+    sinv: jnp.ndarray = None  # (3*Sd, 3*Sd) dense tail inverse (None when
+                              # the tail is empty)
 
 
 def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
-                    dtype) -> TreePlan:
+                    dtype, dense_tail: int = 0) -> TreePlan:
     """Convert the host schedule (+ element couplings) to the device
-    layout."""
+    layout. ``dense_tail`` > 0 folds the trailing levels whose combined
+    slot count fits it into one dense junction solve (see pcr_split)."""
     lv_off, pa_off = [0], [0]
     steps = []
     slots, le, lf, lff = [], [], [], []
@@ -157,7 +196,7 @@ def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
         z2 = jnp.zeros((0, 2), jnp.int32)
         return TreePlan(
             meta=TreeMeta(level_offsets=(0,), path_offsets=(0,),
-                          level_steps=(), k_scale=k_scale),
+                          level_steps=(), k_scale=k_scale, n_pcr=0),
             tree_edge=jnp.asarray(schedule.tree_edge),
             k3=jnp.asarray(np.asarray(k3, dtype)),
             slots=z1, left_elem=z1, left_fill=z1,
@@ -165,11 +204,25 @@ def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
             first_gpos=z1, last_gpos=z1,
             att_elem=z2, att_fill=z2,
             att_flip=jnp.zeros((0, 2), bool), att_tgt=z2,
-            has_fill=jnp.zeros((0,), bool))
+            has_fill=jnp.zeros((0,), bool),
+            dense_eid=z1, dense_i=z1, dense_j=z1)
+
+    sizes = [lv_off[i + 1] - lv_off[i] for i in range(len(lv_off) - 1)]
+    n_pcr = pcr_split(sizes, dense_tail)
+    t0 = lv_off[n_pcr]
+    slots_cat = np.concatenate(slots).astype(np.int64)
+    node_to_slot = np.full(len(schedule.free), -1, np.int64)
+    node_to_slot[slots_cat] = np.arange(len(slots_cat))
+    conn_np = np.asarray(schedule.conn, np.int64)
+    te = np.nonzero(schedule.tree_edge)[0]
+    sa = node_to_slot[conn_np[te, 0]]
+    sb = node_to_slot[conn_np[te, 1]]
+    both = (sa >= t0) & (sb >= t0)
     return TreePlan(
         meta=TreeMeta(level_offsets=tuple(lv_off),
                       path_offsets=tuple(pa_off),
-                      level_steps=tuple(steps), k_scale=k_scale),
+                      level_steps=tuple(steps), k_scale=k_scale,
+                      n_pcr=n_pcr),
         tree_edge=jnp.asarray(schedule.tree_edge),
         k3=jnp.asarray(np.asarray(k3, dtype)),
         slots=cat(slots, jnp.int32),
@@ -183,6 +236,9 @@ def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
         att_flip=cat(a_fl, bool),
         att_tgt=cat(a_tg, jnp.int32),
         has_fill=cat(hasf, bool),
+        dense_eid=jnp.asarray(te[both].astype(np.int32)),
+        dense_i=jnp.asarray((sa[both] - t0).astype(np.int32)),
+        dense_j=jnp.asarray((sb[both] - t0).astype(np.int32)),
     )
 
 
@@ -256,6 +312,49 @@ def _pcr_apply(alphas, betas, dinv, r):
         r = r - mv(alphas[k], _shift(r, -s)) - mv(betas[k], _shift(r, s))
         s *= 2
     return mv(dinv, r)
+
+
+def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, k_pad, fill_B):
+    """Dense inverse of the tail levels' junction-Schur system.
+
+    After the PCR levels eliminated slots [0, t0), the remaining system on
+    the tail slots is: their (BC'd, reg'd) tree diagonal + the Schur diag
+    corrections accumulated by PCR paths (``dacc_tail``) + tree-element
+    couplings between tail slots (static ``dense_*`` tables) + fill
+    couplings produced by PCR paths whose BOTH junctions are tail slots.
+    SPD by construction, <= tree_dense_tail blocks — one inverse per
+    factorization, one MXU matvec per apply."""
+    meta = plan.meta
+    S_tot = plan.n_slots
+    t0 = meta.level_offsets[n_pcr_levels(meta)]
+    Sd = S_tot - t0
+    dtype = D_tail.dtype
+    M = jnp.zeros((Sd, Sd, 3, 3), dtype)
+    ar = jnp.arange(Sd)
+    M = M.at[ar, ar].add(D_tail + dacc_tail)
+    ke = k_pad[plan.dense_eid]
+    M = M.at[plan.dense_i, plan.dense_j].add(ke)
+    M = M.at[plan.dense_j, plan.dense_i].add(jnp.swapaxes(ke, -1, -2))
+    p_pcr = meta.path_offsets[n_pcr_levels(meta)]
+    if p_pcr:
+        tgt = plan.att_tgt[:p_pcr]
+        both = (plan.has_fill[:p_pcr]
+                & (tgt[:, 0] >= t0) & (tgt[:, 0] < S_tot)
+                & (tgt[:, 1] >= t0) & (tgt[:, 1] < S_tot))
+        fb = fill_B[:p_pcr] * both[:, None, None]
+        ti = jnp.clip(tgt[:, 0] - t0, 0, Sd - 1)
+        tj = jnp.clip(tgt[:, 1] - t0, 0, Sd - 1)
+        M = M.at[ti, tj].add(fb)
+        M = M.at[tj, ti].add(jnp.swapaxes(fb, -1, -2))
+    Md = jnp.transpose(M, (0, 2, 1, 3)).reshape(3 * Sd, 3 * Sd)
+    return jnp.linalg.inv(Md)
+
+
+def _dense_tail_apply(factor: TreeFactor, r_tail):
+    """u_tail = Sinv · r_tail, (Sd, 3) -> (Sd, 3)."""
+    u = jnp.einsum("ij,j->i", factor.sinv, r_tail.reshape(-1),
+                   precision=HI)
+    return u.reshape(r_tail.shape)
 
 
 @jax.tree_util.register_static
@@ -354,7 +453,7 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     alphas, betas = [], []
     dinv_parts = []
     attb_parts = []
-    L = len(meta.level_steps)
+    L = n_pcr_levels(meta)
     for li in range(L):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
@@ -401,8 +500,12 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
                 else jnp.zeros((0, 3, 3), dtype))
     attb_all = (jnp.concatenate(attb_parts) if attb_parts
                 else jnp.zeros((0, 2, 3, 3), dtype))
+    t0 = meta.level_offsets[L]
+    sinv = (_dense_tail_factor(plan, D_g[t0:S_tot], dacc[t0:S_tot],
+                               k_pad, fill_B)
+            if S_tot > t0 else None)
     return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
-                      dinv=dinv_all, att_b=attb_all)
+                      dinv=dinv_all, att_b=attb_all, sinv=sinv)
 
 
 def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
@@ -411,8 +514,9 @@ def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
     ordering: slots occupy positions [0, n_slots) so the per-iteration
     N-row gathers of the node-space version become slices."""
     meta = plan.meta
-    L = len(meta.level_steps)
+    L = n_pcr_levels(meta)
     S_tot = plan.n_slots
+    t0 = meta.level_offsets[L]
     racc = jnp.concatenate(
         [r_chain[:S_tot], jnp.zeros((1, 3), r_chain.dtype)])
 
@@ -437,6 +541,9 @@ def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
         racc = racc.at[tgt[:, 1]].add(-mv(ab[:, 1], y[lg]))
 
     u_all = jnp.zeros((S_tot + 1, 3), r_chain.dtype)
+    if S_tot > t0:
+        u_all = u_all.at[t0:S_tot].set(
+            _dense_tail_apply(factor, racc[t0:S_tot]))
     for li in range(L - 1, -1, -1):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
@@ -495,7 +602,7 @@ def tree_factor(plan: TreePlan, active: jnp.ndarray,
     alphas, betas = [], []
     dinv_parts = []
     attb_parts = []
-    L = len(meta.level_steps)
+    L = n_pcr_levels(meta)
     for li in range(L):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
@@ -547,16 +654,21 @@ def tree_factor(plan: TreePlan, active: jnp.ndarray,
                 else jnp.zeros((0, 3, 3), dtype))
     attb_all = (jnp.concatenate(attb_parts) if attb_parts
                 else jnp.zeros((0, 2, 3, 3), dtype))
+    t0 = meta.level_offsets[L]
+    sinv = (_dense_tail_factor(plan, D_g[t0:S_tot], dacc[t0:S_tot],
+                               k_pad, fill_B)
+            if S_tot > t0 else None)
     return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
-                      dinv=dinv_all, att_b=attb_all)
+                      dinv=dinv_all, att_b=attb_all, sinv=sinv)
 
 
 def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
                ) -> jnp.ndarray:
     """z = K_tree^{-1} r for (N,3) r; pinned rows pass through."""
     meta = plan.meta
-    L = len(meta.level_steps)
+    L = n_pcr_levels(meta)
     S_tot = plan.n_slots
+    t0 = meta.level_offsets[L]
     racc = jnp.concatenate(
         [r[plan.slots], jnp.zeros((1, 3), r.dtype)])     # + sentinel
 
@@ -581,6 +693,9 @@ def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
         racc = racc.at[tgt[:, 1]].add(-mv(ab[:, 1], y[lg]))
 
     u_all = jnp.zeros((S_tot + 1, 3), r.dtype)
+    if S_tot > t0:
+        u_all = u_all.at[t0:S_tot].set(
+            _dense_tail_apply(factor, racc[t0:S_tot]))
     for li in range(L - 1, -1, -1):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]

@@ -225,6 +225,49 @@ def test_split_schedule_matches_unbounded(max_len):
     assert res <= 1e-8 * np.linalg.norm(r)
 
 
+@pytest.mark.parametrize("cap", [0, 32, 10 ** 6])
+def test_dense_tail_apply_matches_pure_pcr(cap):
+    """The dense junction-Schur tail (tree_dense_tail) is an exact
+    re-grouping of the trailing elimination levels: pure PCR (cap=0),
+    mixed PCR+dense (cap=32), and pure dense (cap=1e6) must all solve the
+    same tree system to roundoff."""
+    import dataclasses
+    coords, conn = random_forest_mesh(n_nodes=500, n_extra=10, seed=9)
+    base = FeaConfig(dtype="float64", operator="chain", use_pallas=False,
+                     grip_length=0.08, precond="tree", tree_dense_tail=0)
+    m0 = build_model(coords, conn, base)
+    mc = build_model(coords, conn,
+                     dataclasses.replace(base, tree_dense_tail=cap))
+    L = len(mc.tree.meta.level_steps)
+    n_pcr = trj.n_pcr_levels(mc.tree.meta)
+    if cap == 0:
+        assert n_pcr == L
+    elif cap == 32:
+        assert 0 < n_pcr < L       # genuinely mixed
+    else:
+        assert n_pcr == 0          # pure dense
+    N = m0.n_nodes
+    rng = np.random.default_rng(9)
+    free = ~(np.asarray(m0.top_nodes) | np.asarray(m0.bot_nodes))
+    active = jnp.asarray(rng.random(m0.n_elems) > 0.05)
+    reg = jnp.asarray(1e-9)
+    r = rng.standard_normal((N, 3))
+    r[~free] = 0.0
+    f0 = trj.tree_factor(m0.tree, active, jnp.asarray(free), reg, m0.conn)
+    fc = trj.tree_factor(mc.tree, active, jnp.asarray(free), reg, mc.conn)
+    z0 = np.asarray(trj.tree_apply(m0.tree, f0, jnp.asarray(r)))
+    zc = np.asarray(trj.tree_apply(mc.tree, fc, jnp.asarray(r)))
+    np.testing.assert_allclose(zc, z0, rtol=1e-7, atol=1e-12)
+    # and the fast (chain-space) variant agrees under the same cap
+    free_chain = jnp.asarray(free)[mc.chain.perm]
+    ff = trj.tree_factor_fast(mc.tree, mc.tree_fast, mc.chain, active,
+                              jnp.asarray(free), free_chain, reg, mc.conn)
+    perm = np.asarray(mc.chain.perm)
+    z_chain = np.asarray(trj.tree_apply_chain(mc.tree, ff,
+                                              jnp.asarray(r[perm])))
+    np.testing.assert_allclose(z_chain, zc[perm], rtol=1e-7, atol=1e-12)
+
+
 def test_fast_factor_matches_generic():
     """tree_factor_fast (gather-free, unified ordering) must produce the
     same factorization as tree_factor, including under fracture and extra
@@ -251,10 +294,12 @@ def test_fast_factor_matches_generic():
                                        model.chain, active, free_j,
                                        free_chain, reg, model.conn)
         import jax as _jax
+        # rtol covers the dense-tail sinv leaf too: jnp.linalg.inv
+        # amplifies the two assemblies' scatter-order roundoff ~1e-10
         for a, b in zip(_jax.tree_util.tree_leaves(f_ref),
                         _jax.tree_util.tree_leaves(f_fast)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-10, atol=1e-18)
+                                       rtol=1e-8, atol=1e-18)
         # apply equivalence in chain space
         r = rng.standard_normal((N, 3))
         z_node = trj2.tree_apply(model.tree, f_ref, jnp.asarray(r))
