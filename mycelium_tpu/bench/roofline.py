@@ -38,12 +38,16 @@ def solver_traffic_bytes(model, iters: int, dtype_bytes: int = 4) -> dict:
     # ---- operator apply ----
     if model.chain is not None:
         plan = model.chain
-        jp = int(plan.a_blk.shape[0])
-        nbc = int(plan.a_blk.shape[1])
+        jp = int(plan.ja.shape[0])
         # chain part: u in, 3 coefficient planes + mask, f out
         op = 6 * vec
-        # jump part: stacked a/b one-hot tables (bf16) + per-jump scalars
-        op += 2 * jp * (nbc + 128) * 2 + jp * 5 * dtype_bytes
+        if plan.a_blk is not None:
+            # jump part: stacked a/b one-hot tables (bf16) + scalars
+            nbc = int(plan.a_blk.shape[1])
+            op += 2 * jp * (nbc + 128) * 2 + jp * 5 * dtype_bytes
+        else:
+            # huge-mesh gather/scatter jumps: 4 J-row (J,3) passes
+            op += 4 * jp * 3 * dtype_bytes + jp * 5 * dtype_bytes
     else:
         deg = int(model.incident.shape[1])
         # ELL: per-element forces + (N, deg) gather tables + signs
@@ -53,19 +57,25 @@ def solver_traffic_bytes(model, iters: int, dtype_bytes: int = 4) -> dict:
     pc = 0
     setup = 0
     if model.tree is not None:
+        from ..fea.tree_jax import n_pcr_levels
         meta = model.tree.meta
         S = int(model.tree.n_slots)
         P = int(model.tree.n_paths)
+        n_pcr = n_pcr_levels(meta)
         r9S = sum(meta.level_steps[i]
                   * (meta.level_offsets[i + 1] - meta.level_offsets[i])
-                  for i in range(len(meta.level_steps))) * 9 * dtype_bytes
-        # forward + backward each read every level's (alpha, beta) once,
-        # plus dinv and the attachment couplings
+                  for i in range(n_pcr)) * 9 * dtype_bytes
+        # forward + backward each read every PCR level's (alpha, beta)
+        # once, plus dinv and the attachment couplings
         pc = 2 * (2 * r9S + 9 * S * dtype_bytes) \
             + 4 * P * 9 * dtype_bytes + 4 * vec
+        # dense junction tail: one (3Sd)^2 sinv matvec per apply
+        sd3 = 3 * (S - meta.level_offsets[n_pcr])
+        pc += sd3 * sd3 * dtype_bytes
         # factorization: coefficient recurrence writes alpha/beta once and
-        # streams D/L/R ~3x per round
-        setup = 2 * r9S + 3 * 2 * r9S + 18 * S * dtype_bytes
+        # streams D/L/R ~3x per round; dense tail assembles + inverts sinv
+        setup = 2 * r9S + 3 * 2 * r9S + 18 * S * dtype_bytes \
+            + 4 * sd3 * sd3 * dtype_bytes
     elif True:
         pc = 2 * vec + 9 * n * dtype_bytes        # block-Jacobi
 

@@ -136,20 +136,33 @@ def cmd_fea(args) -> str:
 
     print(f"FEA on {results_dir}: {coords.shape[0]} nodes, "
           f"{conn.shape[0]} elements")
-    if args.scan:
-        # one XLA program for the whole ramp (no per-step host sync);
-        # records are cut at the reference's early-stop point afterwards
-        from .fea import run_ramp_scan
-        from .fea.ramp import truncate_after_fracture
-        res = truncate_after_fracture(run_ramp_scan(coords, conn, cfg))
-    else:
-        ckpt_every = getattr(args, "fea_checkpoint_every", 0)
-        ckpt_path = os.path.join(results_dir, "fea_checkpoint.npz") \
-            if ckpt_every else None
-        res = run_ramp(coords, conn, cfg, verbose=args.verbose,
-                       checkpoint_path=ckpt_path,
-                       checkpoint_every=ckpt_every,
-                       resume_from=getattr(args, "fea_resume", None))
+    trace_dir = getattr(args, "trace", None)
+    trace_ctx = None
+    if trace_dir:
+        # device-trace capture (reference §5.1 profile_output*.prof
+        # analogue): a jax.profiler trace viewable in Perfetto/TensorBoard
+        from .utils.profiling import trace as _trace
+        trace_ctx = _trace(trace_dir)
+        trace_ctx.__enter__()
+    try:
+        if args.scan:
+            # one XLA program for the whole ramp (no per-step host sync);
+            # records are cut at the reference's early-stop point afterwards
+            from .fea import run_ramp_scan
+            from .fea.ramp import truncate_after_fracture
+            res = truncate_after_fracture(run_ramp_scan(coords, conn, cfg))
+        else:
+            ckpt_every = getattr(args, "fea_checkpoint_every", 0)
+            ckpt_path = os.path.join(results_dir, "fea_checkpoint.npz") \
+                if ckpt_every else None
+            res = run_ramp(coords, conn, cfg, verbose=args.verbose,
+                           checkpoint_path=ckpt_path,
+                           checkpoint_every=ckpt_every,
+                           resume_from=getattr(args, "fea_resume", None))
+    finally:
+        if trace_ctx is not None:
+            trace_ctx.__exit__(None, None, None)
+            print(f"device trace captured -> {trace_dir}")
     fea_dir = os.path.join(results_dir, "fea_results")
     from .utils.dist import is_coordinator
     if is_coordinator():
@@ -278,6 +291,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "(loop driver only)")
         g.add_argument("--fea-resume", default=None,
                        help="resume the ramp from a checkpoint npz")
+        g.add_argument("--trace", default=None, metavar="DIR",
+                       help="capture a jax.profiler device trace of the "
+                            "ramp into DIR (Perfetto/TensorBoard viewable; "
+                            "the reference's profile_output*.prof analogue)")
         g.add_argument("--no-plots", action="store_true")
         if positional:
             g.add_argument("--csv-variant", choices=["python", "cpp"],

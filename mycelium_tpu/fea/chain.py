@@ -49,7 +49,14 @@ class ChainPlan(NamedTuple):
     jump_n: jnp.ndarray        # (J, 3) direction from endpoint a to b
     jump_kax: jnp.ndarray      # (J,)
     jump_kbd: jnp.ndarray      # (J,)
-    # one-hot block tables for each endpoint (a = row node, b = col node)
+    # jump endpoint positions (padded rows carry the sentinel N)
+    ja: jnp.ndarray            # (J,) int32
+    jb: jnp.ndarray            # (J,) int32
+    # one-hot block tables for each endpoint (a = row node, b = col node).
+    # None on huge meshes (J*NB one-hot entries past ONEHOT_CAP): the XLA
+    # operator then gathers/scatters the J jump rows instead — J-row
+    # gathers are ~10 ns/element, fine for the few-1e5 jumps of a
+    # 1e6-node mesh, while the one-hot tables would be gigabytes
     a_blk: jnp.ndarray         # (J, NB) one-hot over node blocks
     a_lane: jnp.ndarray        # (J, BLOCK) one-hot within the block
     b_blk: jnp.ndarray         # (J, NB)
@@ -57,7 +64,16 @@ class ChainPlan(NamedTuple):
 
     @property
     def n_padded(self) -> int:
-        return self.a_blk.shape[1] * BLOCK
+        if self.a_blk is not None:
+            return self.a_blk.shape[1] * BLOCK
+        n = self.perm.shape[0]
+        return ((n + BLOCK - 1) // BLOCK) * BLOCK
+
+
+# past this many one-hot entries per (J, NB) table the jump part of the
+# XLA operator switches to J-row gather/scatter (the Pallas kernels are
+# already VMEM-gated out at a small fraction of this)
+ONEHOT_CAP = 1 << 25
 
 
 def greedy_path_cover(conn: np.ndarray, n_nodes: int) -> np.ndarray:
@@ -181,8 +197,11 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
     jb = inv[conn[jump_ids, 1]] if J else np.zeros(0, np.int64)
     NB = (n_nodes + BLOCK - 1) // BLOCK
     Jp = max(int(np.ceil(max(J, 1) / 8)) * 8, 8)   # pad J for tiling
+    with_onehots = Jp * NB <= ONEHOT_CAP
 
     def one_hots(idx):
+        if not with_onehots:
+            return None, None
         blk = np.zeros((Jp, NB), dtype=np.float64)
         lane = np.zeros((Jp, BLOCK), dtype=np.float64)
         if len(idx):
@@ -217,6 +236,7 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
     # compiles a convert_element_type per shape (slow on remote backends);
     # a same-dtype asarray is a pure device transfer
     as_j = lambda x, dt=dtype: jnp.asarray(np.asarray(x, dt))   # noqa: E731
+    opt = lambda x: as_j(x) if x is not None else None          # noqa: E731
     return ChainPlan(
         perm=as_j(perm, np.int32),
         inv_perm=as_j(inv, np.int32),
@@ -225,8 +245,9 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
         chain_kbd=as_j(chain_kbd),
         jump_elem=as_j(jelem, np.int32),
         jump_n=as_j(jn), jump_kax=as_j(jkax), jump_kbd=as_j(jkbd),
-        a_blk=as_j(a_blk), a_lane=as_j(a_lane),
-        b_blk=as_j(b_blk), b_lane=as_j(b_lane),
+        ja=as_j(ja_pad, np.int32), jb=as_j(jb_pad, np.int32),
+        a_blk=opt(a_blk), a_lane=opt(a_lane),
+        b_blk=opt(b_blk), b_lane=opt(b_lane),
     )
 
 
@@ -257,6 +278,21 @@ def chain_apply(plan: ChainPlan, chain_act, jump_act, u_perm):
     f = f * chain_act[:, None]
     # slot i contributes +f to node i, -f to node i+1
     out = f - _shift_down(f)
+
+    if plan.a_blk is None:
+        # ---- jump part, huge-mesh variant: J-row gather/scatter ----
+        # (the (J, NB) one-hot tables would be gigabytes; J-row gathers
+        # cost ~10 ns/element — a few ms at 1e5 jumps)
+        u_pad = jnp.concatenate(
+            [u_perm, jnp.zeros((1, W), u_perm.dtype)], axis=0)
+        dj = u_pad[plan.ja] - u_pad[plan.jb]
+        ndj = jnp.sum(plan.jump_n * dj, axis=1)
+        fj = (plan.jump_kax * ndj)[:, None] * plan.jump_n \
+            + plan.jump_kbd[:, None] * (dj - ndj[:, None] * plan.jump_n)
+        fj = fj * jump_act[:, None]
+        out = out.at[plan.ja].add(fj, mode="drop")
+        out = out.at[plan.jb].add(-fj, mode="drop")
+        return out
 
     # ---- jump part: two-stage one-hot matmuls (MXU) ----
     NB = plan.a_blk.shape[1]

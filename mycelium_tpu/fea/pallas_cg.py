@@ -98,6 +98,8 @@ def _tile3(p):
 def chain_table_bytes(plan: "ChainPlan", n_nodes: int) -> int:
     """Byte count of the PackedChainData VMEM tables (ab_blk grows as
     n_jumps x n_nodes/128 — quadratic-ish on jump-heavy meshes)."""
+    if plan.a_blk is None:      # huge mesh: one-hots not even built
+        return 1 << 62
     nb = plan_nb(n_nodes)
     jp = plan.a_blk.shape[0]
     jpad = max((jp + JUMP_CHUNK - 1) // JUMP_CHUNK, 1) * JUMP_CHUNK

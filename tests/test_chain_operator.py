@@ -57,6 +57,42 @@ def test_chain_matvec_matches_ell(seed):
                                rtol=1e-10, atol=1e-18)
 
 
+def test_chain_matvec_gather_jumps_match_onehot(monkeypatch):
+    """Huge meshes skip the (J, NB) one-hot jump tables (gigabytes at 1e6
+    nodes) and gather/scatter the J jump rows instead — forced here via
+    ONEHOT_CAP=0, must match the one-hot operator exactly."""
+    import mycelium_tpu.fea.chain as chain_mod
+    coords, conn = random_network(seed=3)
+    cfg = FeaConfig(dtype="float64", operator="chain")
+    model = build_model(coords, conn, cfg)
+    monkeypatch.setattr(chain_mod, "ONEHOT_CAP", 0)
+    cfg2 = FeaConfig(dtype="float64", operator="chain")
+    model2 = build_model(coords, conn, cfg2)
+    assert model.chain.a_blk is not None
+    assert model2.chain.a_blk is None
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(model.n_nodes, 3)))
+    active = jnp.asarray(rng.random(model.n_elems) > 0.3)
+    ca, ja = plan_active_masks(model.chain, active)
+    ku1 = chain_apply(model.chain, ca, ja, u[model.chain.perm])
+    ca2, ja2 = plan_active_masks(model2.chain, active)
+    ku2 = chain_apply(model2.chain, ca2, ja2, u[model2.chain.perm])
+    np.testing.assert_allclose(np.asarray(ku2), np.asarray(ku1),
+                               rtol=1e-12, atol=1e-18)
+    # and the full solve path works without one-hot tables
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+    grip = np.asarray(model2.top_nodes) | np.asarray(model2.bot_nodes)
+    anch = jnp.asarray(anchored_mask_host(np.asarray(model2.conn),
+                                          np.asarray(active), grip))
+    scfg = FeaConfig(dtype="float64", operator="chain", precond="tree",
+                     rtol=1e-10)
+    m_s = build_model(coords, conn, scfg)
+    assert m_s.chain.a_blk is None
+    x0 = jnp.zeros((m_s.n_nodes, 3))
+    res = solve_displacement(m_s, active, 0.01, -0.01, x0, scfg, anch)
+    assert bool(res.converged)
+
+
 def test_chain_matvec_on_real_scenes():
     for name in ["test_X", "test_y", "test_I"]:
         sc = scenes.SCENES[name]()
