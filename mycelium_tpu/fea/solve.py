@@ -28,8 +28,8 @@ from .model import FeaModel, diag_blocks, invert_blocks
 
 class SolveResult(NamedTuple):
     x: jnp.ndarray          # (N,3) solution
-    iters: jnp.ndarray      # () int32 — -1 when the backend does not
-                            # expose a count (gmres; see gmres())
+    iters: jnp.ndarray      # () int32 — CG/BiCGStab iterations, or total
+                            # Arnoldi steps for gmres (operator applies)
     resnorm: jnp.ndarray    # () final |r|
     converged: jnp.ndarray  # () bool
 
@@ -266,32 +266,120 @@ def bicgstab(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 def gmres(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
           precond: Callable, rtol: float, atol: float,
           max_iter: int, bnorm=None, restart: int = 32) -> SolveResult:
-    """Right-preconditioned restarted GMRES — the 'gmres' leg of the
-    reference's solver sweep (src/fea_petsc_solverAndPC.cpp:221). Wraps
-    jax.scipy.sparse.linalg.gmres (batched Arnoldi: MXU-friendly
-    re-orthogonalization); the returned iteration count is -1 (the
-    underlying implementation does not expose it)."""
-    from jax.scipy.sparse.linalg import gmres as _gmres
+    """Right-preconditioned restarted GMRES(m) — the 'gmres' leg of the
+    reference's solver sweep (src/fea_petsc_solverAndPC.cpp:221).
+
+    Own implementation (modified Gram-Schmidt Arnoldi + Givens-rotation
+    QR of the Hessenberg) so the sweep reports a REAL iteration count:
+    ``iters`` is the total number of Arnoldi steps (= operator applies,
+    PETSc's KSPGetIterationNumber semantics), where the previous
+    jax.scipy wrapper could only return a -1 sentinel. The residual is
+    tracked exactly via the rotated RHS inside a cycle, and recomputed
+    from scratch at each restart (classic safeguard against Arnoldi
+    drift). Everything is one jitted while_loop nest: no host round
+    trips, any iteration count."""
     if bnorm is None:
         bnorm = jnp.sqrt(_dot(b, b))
     tol = jnp.maximum(rtol * bnorm, atol)
-    x, _ = _gmres(operator, b, x0=x0, tol=0.0, atol=tol,
-                  restart=restart, maxiter=max(max_iter // restart, 1),
-                  M=precond, solve_method="batched")
-    r = b - operator(x)
-    rnorm = jnp.sqrt(_dot(r, r))
+    m = int(restart)
+    dtype = b.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    im = jnp.arange(m)
+
+    def cycle(x):
+        """One GMRES(m) cycle from x; returns (x_new, arnoldi_steps)."""
+        r = b - operator(x)
+        beta = jnp.sqrt(_dot(r, r))
+        v0 = r / jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((m + 1,) + b.shape, dtype).at[0].set(v0)
+        R = jnp.zeros((m, m), dtype)
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+
+        def inner_cond(s):
+            j, res = s[0], s[1]
+            return jnp.logical_and(j < m, res > tol)
+
+        def inner_body(s):
+            j, _, V, R, cs, sn, g = s
+            w = operator(precond(V[j]))
+
+            def mgs(i, carry):
+                w, h = carry
+                hi = jnp.where(i <= j, _dot(V[i], w), 0.0)
+                return w - hi * V[i], h.at[i].set(hi)
+
+            w, h = jax.lax.fori_loop(0, m + 1, mgs,
+                                     (w, jnp.zeros((m + 1,), dtype)))
+            h_next = jnp.sqrt(_dot(w, w))
+            hcol = h.at[j + 1].set(h_next)
+
+            def rot(i, hcol):
+                act = i < j
+                t0 = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
+                t1 = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
+                return (hcol.at[i].set(jnp.where(act, t0, hcol[i]))
+                        .at[i + 1].set(jnp.where(act, t1, hcol[i + 1])))
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            hj, hj1 = hcol[j], hcol[j + 1]
+            denom = jnp.sqrt(hj * hj + hj1 * hj1)
+            safe = jnp.where(denom > 0, denom, 1.0)
+            c = jnp.where(denom > 0, hj / safe, jnp.ones((), dtype))
+            s_ = jnp.where(denom > 0, hj1 / safe, jnp.zeros((), dtype))
+            cs, sn = cs.at[j].set(c), sn.at[j].set(s_)
+            hcol = hcol.at[j].set(c * hj + s_ * hj1).at[j + 1].set(0.0)
+            R = R.at[:, j].set(hcol[:m])
+            gj = g[j]
+            g = g.at[j].set(c * gj).at[j + 1].set(-s_ * gj)
+            res = jnp.abs(g[j + 1])
+            # lucky breakdown (h_next ~ 0): keep the zero vector; res is
+            # already ~0 so the loop exits
+            V = V.at[j + 1].set(
+                jnp.where(h_next > eps * beta,
+                          w / jnp.where(h_next > 0, h_next, 1.0),
+                          jnp.zeros_like(w)))
+            return j + 1, res, V, R, cs, sn, g
+
+        j, _, V, R, cs, sn, g = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (jnp.asarray(0, jnp.int32), beta, V, R, cs, sn, g))
+
+        # y = R[:j,:j]^-1 g[:j], masked to the full m x m triangle
+        used = im < j
+        diag = jnp.where(used, jnp.diagonal(R), jnp.ones((m,), dtype))
+        R_safe = R.at[im, im].set(jnp.where(jnp.abs(diag) > 0, diag, 1.0))
+        y = jax.scipy.linalg.solve_triangular(
+            R_safe, jnp.where(used, g[:m], 0.0), lower=False)
+        dx = jnp.tensordot(y, V[:m], axes=1)
+        return x + precond(dx), j
+
+    r0 = b - operator(x0)
+    rn0 = jnp.sqrt(_dot(r0, r0))
+
+    def outer_cond(s):
+        _, k, rnorm = s
+        return jnp.logical_and(k < max_iter, rnorm > tol)
+
+    def outer_body(s):
+        x, k, _ = s
+        x, j = cycle(x)
+        r = b - operator(x)
+        return x, k + j, jnp.sqrt(_dot(r, r))
+
+    x, k, rnorm = jax.lax.while_loop(
+        outer_cond, outer_body, (x0, jnp.asarray(0, jnp.int32), rn0))
     # zero-RHS guard ONLY: an all-gripped/zero-dy system has condensed
     # bnorm == 0, so tol == atol (often 0) and the recomputed residual can
     # miss it by ~1e-24 of fp noise. For any genuinely nonzero RHS the
     # caller's rtol·bnorm stands un-floored (a 64·eps floor on the FULL b
     # previously reported f32 solves converged at ~8e-6 relative residual
     # even when cfg.rtol demanded tighter).
-    eps = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
     floor = jnp.where(bnorm <= eps * jnp.sqrt(_dot(b, b)),
                       64.0 * eps * jnp.sqrt(_dot(b, b)),
                       jnp.zeros_like(bnorm))
-    return SolveResult(x=x, iters=jnp.asarray(-1, jnp.int32),
-                       resnorm=rnorm,
+    return SolveResult(x=x, iters=k, resnorm=rnorm,
                        converged=rnorm <= jnp.maximum(tol, floor))
 
 

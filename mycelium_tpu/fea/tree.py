@@ -121,7 +121,8 @@ class TreeSchedule(NamedTuple):
 def build_tree_schedule(conn: np.ndarray, n_nodes: int,
                         free: np.ndarray,
                         tree_edge: Optional[np.ndarray] = None,
-                        max_path_len: int = 0) -> TreeSchedule:
+                        max_path_len: int = 0,
+                        use_native: bool = True) -> TreeSchedule:
     """Simulate the peel on the host and record the static schedule.
 
     Levels repeat until no free node remains: nodes whose degree in the
@@ -141,6 +142,21 @@ def build_tree_schedule(conn: np.ndarray, n_nodes: int,
     if tree_edge is None:
         tree_edge = spanning_forest(conn, n_nodes)
 
+    # native C++ peel (identical semantics, tested against the python walk
+    # below — which stays as the fallback and the equality oracle): the
+    # python path walk costs minutes at 1e6 nodes, the native one ~1 s
+    from ..native import meshio_native
+    native = (meshio_native.tree_peel(conn, n_nodes, tree_edge, free,
+                                      max_path_len)
+              if use_native else None)
+    if native is not None:
+        lvl_dicts, n_fill_native = native
+        lvls = tuple(TreeLevel(**d) for d in lvl_dicts)
+        return TreeSchedule(conn=np.asarray(conn, np.int32),
+                            tree_edge=np.asarray(tree_edge, bool),
+                            free=free, levels=lvls,
+                            n_fill=n_fill_native)
+
     # adjacency over free-free tree edges: adj[node] = list of (nbr, kind,
     # id, flip) — flip=True means the stored value is oriented (nbr, node)
     adj = [[] for _ in range(n_nodes)]
@@ -149,6 +165,16 @@ def build_tree_schedule(conn: np.ndarray, n_nodes: int,
         if free[a] and free[b] and a != b:
             adj[a].append([b, KIND_ELEM, int(e), False])
             adj[b].append([a, KIND_ELEM, int(e), False])
+    # flat edge arrays for the vectorized per-level degree count (the
+    # python-loop version cost O(alive) list scans per level — ~40% of a
+    # 1e6-node host build); fill edges created during the peel are
+    # appended via fill_a/fill_b
+    te = np.nonzero(tree_edge)[0]
+    ea_, eb_ = conn[te, 0], conn[te, 1]
+    keep = free[ea_] & free[eb_] & (ea_ != eb_)
+    edge_a, edge_b = ea_[keep], eb_[keep]
+    fill_a: list = []
+    fill_b: list = []
 
     alive = free.copy()
     levels = []
@@ -162,9 +188,13 @@ def build_tree_schedule(conn: np.ndarray, n_nodes: int,
 
     level_idx = 0
     while alive.any():
-        deg = np.zeros(n_nodes, np.int64)
-        for n in np.nonzero(alive)[0]:
-            deg[n] = sum(1 for nb in adj[n] if alive[nb[0]])
+        if fill_a:
+            edge_a = np.concatenate([edge_a, np.asarray(fill_a, np.int64)])
+            edge_b = np.concatenate([edge_b, np.asarray(fill_b, np.int64)])
+            fill_a, fill_b = [], []
+        m = alive[edge_a] & alive[edge_b]
+        deg = np.bincount(edge_a[m], minlength=n_nodes) \
+            + np.bincount(edge_b[m], minlength=n_nodes)
         elim = alive & (deg <= 2)
         if not elim.any():   # cannot happen on a forest
             raise RuntimeError("tree peel stuck: non-forest structure")
@@ -268,6 +298,8 @@ def build_tree_schedule(conn: np.ndarray, n_nodes: int,
                 # stored orientation (jl -> jr)
                 adj[juncs[0]].append([juncs[1], KIND_FILL, fid, False])
                 adj[juncs[1]].append([juncs[0], KIND_FILL, fid, True])
+                fill_a.append(juncs[0])
+                fill_b.append(juncs[1])
             else:
                 fill_out.append(-1)
 

@@ -251,8 +251,16 @@ def uptake(st: GrowthState, env: EnvArrays, cfg: GrowthConfig) -> GrowthState:
     sub = sub0
     for c in range(n_cuboids):   # static, tiny
         mu = env.sub_mu[c]
+        # Segments already at m_cap are exact no-ops in the reference
+        # drain (theta = clamp(..., min(m_cap - s, E)) = 0,
+        # mycelium_sim_2D.py:331-335), and each segment is visited ONCE,
+        # so excluding them by their pre-drain s is exact. Without this
+        # they are run BREAKERS (th_a > cap == 0 violates every A-run),
+        # and at xlarge occupancy the saturated/unsaturated interleaving
+        # drove one while iteration per boundary — O(1e5) full-capacity
+        # cumprod passes per growth step.
         elig = _contains(env.sub_center[c], env.sub_size[c], st.end) & \
-            (st.state != EMPTY) & (idx < st.n_seg)
+            (st.state != EMPTY) & (idx < st.n_seg) & (sub < m_cap)
 
         def cond(carry):
             pos, e, _ = carry

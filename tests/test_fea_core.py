@@ -166,6 +166,10 @@ def test_solve_matches_spsolve(scene_name, solver):
     res = solve_displacement(model, jnp.asarray(active_np), dy, -dy,
                              jnp.zeros((model.n_nodes, 3), jnp.float64), cfg)
     assert bool(res.converged)
+    # every solver leg reports a real iteration count (gmres counts
+    # Arnoldi steps = operator applies; the old jax.scipy wrapper could
+    # only return a -1 sentinel)
+    assert int(res.iters) > 0
     U = np.asarray(res.x).reshape(-1)
     assert np.linalg.norm(U - U_ref) < 1e-6   # the BASELINE.json parity bar
     np.testing.assert_allclose(U, U_ref, rtol=1e-6, atol=1e-12)

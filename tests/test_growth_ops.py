@@ -366,3 +366,25 @@ def test_uptake_parallel_matches_while_loop(seed):
                                rtol=1e-12, atol=1e-22)
     np.testing.assert_allclose(float(b.env_e[0]), float(a.env_e[0]),
                                rtol=1e-9, atol=2e-18)
+
+
+def test_uptake_saturated_interleave():
+    """Strictly alternating saturated/unsaturated segments with scarce E —
+    the xlarge mid-run occupancy pattern. Saturated segments are exact
+    no-ops (theta clamps to m_cap - s = 0) and must not break the regime
+    runs: with them excluded the drain stays a handful of vector passes;
+    the pre-fix code paid one full-capacity pass per boundary."""
+    from mycelium_tpu.growth.ops import uptake_loop
+    cfg = GrowthConfig(max_segments=1024, max_hyphae=256, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    n = 512
+    subs = np.full(n, 0.3 * cfg.m_cap)
+    subs[::2] = cfg.m_cap                     # every other slot saturated
+    st, ea = build_chain(cfg, list(subs))
+    st = st._replace(env_e=jnp.asarray([2e-6], st.sub.dtype))
+    a = uptake_loop(st, ea, cfg)
+    b = uptake(st, ea, cfg)
+    np.testing.assert_allclose(np.asarray(b.sub), np.asarray(a.sub),
+                               rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(float(b.env_e[0]), float(a.env_e[0]),
+                               rtol=1e-9, atol=2e-18)

@@ -309,3 +309,30 @@ def test_fast_factor_matches_generic():
         np.testing.assert_allclose(np.asarray(z_chain),
                                    np.asarray(z_node)[perm],
                                    rtol=1e-10, atol=1e-16)
+
+
+@pytest.mark.parametrize("seed,mpl,grip", [(0, 0, 0.1), (1, 16, 0.1),
+                                           (2, 128, 0.3), (3, 64, 0.02)])
+def test_native_peel_matches_python(seed, mpl, grip):
+    """The C++ schedule peel (native/meshio.cpp meshio_tree_peel) must be
+    array-for-array identical to the python walk it replaces — every
+    TreeLevel field, every level, including fill ids, attachment
+    orientation flags and the max_path_len demotion structure."""
+    from mycelium_tpu.native import meshio_native
+    if not meshio_native.available():
+        pytest.skip("native library unavailable")
+    coords, conn = random_forest_mesh(n_nodes=900, n_extra=25, seed=seed)
+    n = coords.shape[0]
+    rng = np.random.default_rng(seed)
+    free = rng.random(n) > grip
+    a = tr.build_tree_schedule(conn, n, free, max_path_len=mpl,
+                               use_native=True)
+    b = tr.build_tree_schedule(conn, n, free, max_path_len=mpl,
+                               use_native=False)
+    assert a.n_fill == b.n_fill
+    assert len(a.levels) == len(b.levels)
+    for la, lb in zip(a.levels, b.levels):
+        for f in la._fields:
+            va, vb = np.asarray(getattr(la, f)), np.asarray(getattr(lb, f))
+            assert va.shape == vb.shape, f
+            assert np.array_equal(va, vb), f
