@@ -397,8 +397,10 @@ def chain_tree_diag(plan: TreePlan, fast: FastFactorData, cplan,
     m_c = (act_pad[cplan.chain_elem] & fast.chain_tree)
     n = cplan.chain_n
     nnT = n[:, :, None] * n[:, None, :]
-    k3c = (cplan.chain_kax[:, None, None] * nnT
-           + cplan.chain_kbd[:, None, None] * (eye[None] - nnT))
+    # (kax-kbd) n n^T + kbd I — the same association as tree.element_k3
+    # so the fast factor tracks the generic one to fp roundoff
+    k3c = (nnT * (cplan.chain_kax - cplan.chain_kbd)[:, None, None]
+           + cplan.chain_kbd[:, None, None] * eye[None])
     k3c = k3c * m_c[:, None, None]
     # chain edge i connects positions i and i+1: both ends get its k3
     D = k3c + jnp.concatenate([jnp.zeros((1, 3, 3), dtype), k3c[:-1]])
@@ -406,8 +408,8 @@ def chain_tree_diag(plan: TreePlan, fast: FastFactorData, cplan,
     m_j = (act_pad[cplan.jump_elem] & fast.jump_tree)
     nj = cplan.jump_n
     nnTj = nj[:, :, None] * nj[:, None, :]
-    k3j = (cplan.jump_kax[:, None, None] * nnTj
-           + cplan.jump_kbd[:, None, None] * (eye[None] - nnTj))
+    k3j = (nnTj * (cplan.jump_kax - cplan.jump_kbd)[:, None, None]
+           + cplan.jump_kbd[:, None, None] * eye[None])
     k3j = k3j * m_j[:, None, None]
     D = D.at[fast.ja].add(k3j, mode="drop")
     D = D.at[fast.jb].add(k3j, mode="drop")
