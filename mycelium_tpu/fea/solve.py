@@ -366,7 +366,11 @@ def gmres(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         x, k, _ = s
         x, j = cycle(x)
         r = b - operator(x)
-        return x, k + j, jnp.sqrt(_dot(r, r))
+        # j >= 1 whenever the cycle's entry residual exceeded tol; the
+        # max(j, 1) guards the degenerate j == 0 case (an fp flip between
+        # the outer residual and the cycle's recomputation) from looping
+        # forever without advancing k
+        return x, k + jnp.maximum(j, 1), jnp.sqrt(_dot(r, r))
 
     x, k, rnorm = jax.lax.while_loop(
         outer_cond, outer_body, (x0, jnp.asarray(0, jnp.int32), rn0))
