@@ -336,3 +336,26 @@ def test_native_peel_matches_python(seed, mpl, grip):
             va, vb = np.asarray(getattr(la, f)), np.asarray(getattr(lb, f))
             assert va.shape == vb.shape, f
             assert np.array_equal(va, vb), f
+
+
+def test_native_peel_matches_python_grip_bands():
+    """Same equality on a larger mesh with CONTIGUOUS y-band grips (the
+    build_model pattern): gripped bands cut hyphae into free fragments,
+    a different peel structure than random free masks."""
+    from mycelium_tpu.native import meshio_native
+    if not meshio_native.available():
+        pytest.skip("native library unavailable")
+    coords, conn = random_forest_mesh(n_nodes=4000, n_extra=80, seed=7)
+    n = coords.shape[0]
+    y = coords[:, 1]
+    ext = y.max() - y.min()
+    free = (y > y.min() + 0.25 * ext) & (y < y.max() - 0.25 * ext)
+    a = tr.build_tree_schedule(conn, n, free, max_path_len=128,
+                               use_native=True)
+    b = tr.build_tree_schedule(conn, n, free, max_path_len=128,
+                               use_native=False)
+    assert a.n_fill == b.n_fill and len(a.levels) == len(b.levels)
+    for la, lb in zip(a.levels, b.levels):
+        for f in la._fields:
+            assert np.array_equal(np.asarray(getattr(la, f)),
+                                  np.asarray(getattr(lb, f))), f
