@@ -66,13 +66,16 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
         x0 = jnp.zeros((model.n_nodes, 3), jnp.float32)
         dy = jnp.asarray(0.02, jnp.float32)
 
-        use_big = getattr(model, "tree_packed_big", None) is not None
+        use_big = model.tree_packed is None
         if use_big:
-            # Large-mesh hybrid path: cold solves are chained on the host
+            # No single whole-solve kernel: chain cold solves on the host
             # as the production two-program composition (ramp.run_ramp):
-            # a jitted tree factorization + a jitted CG step. Dispatches
-            # are async and dependent (each factorization reads the
-            # previous solution), so the chain still times true
+            # a jitted tree factorization + a jitted CG step — covers the
+            # hybrid (Pallas matvec) AND the pure-XLA large-mesh modes.
+            # Folding 8 cold solves (each with its factorization) into one
+            # scan program stalls the TPU compiler past ~300k nodes.
+            # Dispatches are async and dependent (each factorization reads
+            # the previous solution), so the chain still times true
             # back-to-back cold solves.
             from ..fea.solve import compute_tree_factor
             jit_fac = jax.jit(compute_tree_factor, static_argnums=(2,))

@@ -158,14 +158,23 @@ class FeaConfig:
                                        # fall back to the XLA (non-Pallas)
                                        # solver path of the same numerics
     coarse_basis: str = "const"        # two-level PC coarse space per
-                                       # 128-node cluster: 'const' |
+                                       # chain cluster: 'const' |
                                        # 'linear' (adds an in-chain ramp).
-                                       # CAUTION: 'linear' doubles the
-                                       # coarse system; its dense on-device
-                                       # inverse (~4.7k x 4.7k at 1e5
-                                       # DOF) reproducibly crashed the
-                                       # axon TPU worker — use 'const'
-                                       # beyond ~3e4 nodes
+                                       # 'linear' doubles the coarse system
+                                       # (halving the node count at which
+                                       # coarse_max_dim widens clusters)
+    coarse_max_dim: int = 3072         # cap on the dense coarse operator's
+                                       # dimension: clusters widen from one
+                                       # 128-position chain block to k
+                                       # blocks so n_basis*3*ceil(nb/k)
+                                       # stays under this. Uncapped, the
+                                       # on-device dense inverse grows as
+                                       # n/128*3 (7.7k x 7.7k at 330k
+                                       # nodes) and reproducibly CRASHES
+                                       # the TPU worker past ~4.7k dim —
+                                       # and would be 23k-dim at 1e6 nodes.
+                                       # 3072 matches the tree_dense_tail
+                                       # inverse scale that runs fine.
     gmres_restart: int = 32            # Arnoldi restart length for the
                                        # 'gmres' solver leg
     rtol: float = 1e-8                 # CG relative residual tolerance

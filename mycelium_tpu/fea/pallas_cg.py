@@ -342,37 +342,55 @@ def _cg_kernel(nb, jp, max_iter, rtol, reg, use_ramp,
     stats_ref[:] = stats
 
 
-def _ramp_weight(pos_in_cluster):
-    """Normalized linear coordinate within a 128-node cluster, in [-1, 1]."""
-    return (pos_in_cluster.astype(jnp.float32) - (BLOCK - 1) / 2) \
-        / (BLOCK / 2)
+def _ramp_weight(pos_in_cluster, width: int = BLOCK):
+    """Normalized linear coordinate within a width-node cluster, in
+    [-1, 1]."""
+    return (pos_in_cluster.astype(jnp.float32) - (width - 1) / 2) \
+        / (width / 2)
 
 
-def _coarse_inverse(model, plan, active, free, cfg, nb):
+def coarse_cluster_blocks(nb: int, cfg) -> int:
+    """128-position chain blocks per coarse cluster: the smallest k that
+    keeps the dense coarse operator's dimension n_basis*3*ceil(nb/k) under
+    cfg.coarse_max_dim (k=1 — one block per cluster — up to ~131k nodes
+    with the 'const' basis and the 3072 default). Every consumer of
+    _coarse_inverse must restrict/prolong with the SAME k."""
+    n_basis = 2 if cfg.coarse_basis == "linear" else 1
+    cap = max(int(cfg.coarse_max_dim), 3 * n_basis)
+    return -(-(3 * n_basis * nb) // cap)
+
+
+def _coarse_inverse(model, plan, active, free, cfg, nb, kblk: int = 1):
     """Galerkin coarse operator for the two-level preconditioner.
 
-    Clusters = 128 consecutive chain-ordered nodes (one row of the plane
-    layout). The coarse space is piecewise LINEAR along the chain per
-    cluster per component — a constant and an in-chain ramp function —
-    which captures the dominant stretching modes of long hyphae far better
-    than constants alone. Coarse DOF index = f*3*NB + k*NB + cluster with
-    f in {const, ramp}; assembled from the free-masked operator
-    P·K·P + reg·P, symmetrically normalized, and densely inverted
-    (6·NB is ~400 at 1e5 DOF — trivial).
+    Clusters = ``kblk`` consecutive 128-position chain blocks (``kblk``
+    rows of the plane layout; coarse_cluster_blocks picks the smallest
+    kblk that keeps the dense dimension under cfg.coarse_max_dim — an
+    uncapped inverse crashes the TPU worker past ~4.7k dim and would be
+    23k-dim at 1e6 nodes). The coarse space is piecewise LINEAR along the
+    chain per cluster per component — a constant and an in-chain ramp
+    function — which captures the dominant stretching modes of long hyphae
+    far better than constants alone. Coarse DOF index = f*3*NBC + k*NBC +
+    cluster with f in {const, ramp}, NBC = ceil(nb/kblk); assembled from
+    the free-masked operator P·K·P + reg·P, symmetrically normalized, and
+    densely inverted (3·NBC is ~400 at 1e5 DOF — trivial).
 
     Clusters are ALWAYS defined by chain position (plan.inv_perm): every
     caller — node-space, chain-space and sharded — restricts per-cluster
-    in chain order, and a different position array here would desynchronize
-    the coarse operator from their cluster restriction."""
+    in chain order with the same kblk, and a different position array here
+    would desynchronize the coarse operator from their cluster
+    restriction."""
     from .elements import element_stiffness_batch
     f32 = jnp.float32
     conn = model.conn
-    nc3 = 3 * nb
+    width = kblk * BLOCK                             # cluster width
+    nbc = -(-nb // kblk)                             # clusters
+    nc3 = 3 * nbc
     nc = (2 if cfg.coarse_basis == "linear" else 1) * nc3
     n_basis = 2 if cfg.coarse_basis == "linear" else 1
     pos = plan.inv_perm                              # (N,) chain position
-    cl = pos // BLOCK                                # (N,) cluster ids
-    ramp = _ramp_weight(pos % BLOCK)                 # (N,)
+    cl = pos // width                                # (N,) cluster ids
+    ramp = _ramp_weight(pos % width, width)          # (N,)
     ke = element_stiffness_batch(model.geom).astype(f32)      # (E,6,6)
     f = free.astype(f32)
     # expand the 6x6 element block to the coarse dofs: order
@@ -388,7 +406,7 @@ def _coarse_inverse(model, plan, active, free, cfg, nb):
         for fb in range(n_basis):                    # basis: const(, ramp)
             wgt = (f[n_p] if fb == 0 else f[n_p] * ramp[n_p])
             w.append(jnp.repeat(wgt[:, None], 3, axis=1))
-            dof.append(fb * nc3 + comp[None, :] * nb + cl[n_p][:, None])
+            dof.append(fb * nc3 + comp[None, :] * nbc + cl[n_p][:, None])
     nd = 6 * n_basis
     w12 = jnp.concatenate(w, axis=1)                 # (E,6b)
     dof12 = jnp.concatenate(dof, axis=1)             # (E,6b)
@@ -402,7 +420,7 @@ def _coarse_inverse(model, plan, active, free, cfg, nb):
     # identity term: the restriction is free-masked (pinned residual rows
     # are zero) and grip identity entries would flatten the correction.
     dreg = np.float32(cfg.reg) * f
-    base = comp[None, :] * nb + cl[:, None]          # (N,3)
+    base = comp[None, :] * nbc + cl[:, None]         # (N,3)
     for fa in range(n_basis):
         for fb in range(n_basis):
             wv = dreg * (ramp ** (fa + fb))

@@ -73,7 +73,8 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
     N = model.n_nodes
     dtype = model.coords.dtype
     # node padding: a device multiple, and with the coarse level also a
-    # 128-multiple per shard so clusters never cross shard boundaries
+    # cluster-width multiple per shard so clusters never cross shard
+    # boundaries
     use_coarse = cfg.precond == "coarse"
     if use_coarse and model.chain is None:
         raise ValueError("sharded precond='coarse' needs the chain node "
@@ -81,7 +82,11 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
                          "(coarse clusters must be spatially coherent — "
                          "creation-order clusters make the correction "
                          "counterproductive)")
-    quantum = n_dev * 128 if use_coarse else n_dev
+    from .pallas_cg import coarse_cluster_blocks, plan_nb
+    kblk = coarse_cluster_blocks(plan_nb(N), cfg) if use_coarse else 1
+    width = 128 * kblk                 # coarse cluster width (cap on the
+    #                                    dense coarse dim, see coarse_max_dim)
+    quantum = n_dev * width if use_coarse else n_dev
     Np = N + ((-N) % quantum)
     nb_tot = Np // 128 if use_coarse else 0
     n_basis = 2 if cfg.coarse_basis == "linear" else 1
@@ -135,8 +140,8 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
 
         if use_coarse:
             from .pallas_cg import _ramp_weight
-            nb_loc = Np // n_dev // 128
-            rampw = _ramp_weight(jnp.arange(128)).astype(dtype)
+            nbc_loc = Np // n_dev // width
+            rampw = _ramp_weight(jnp.arange(width), width).astype(dtype)
             me = jax.lax.axis_index(axis)
 
             def coarse(r_l):
@@ -145,23 +150,23 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
                 all_gather is the analogue of PETSc GAMG's coarsest-level
                 redundant solve), local prolongation."""
                 rf = r_l * freef
-                rcl = rf.reshape(nb_loc, 128, 3)
-                parts_l = [jnp.sum(rcl, axis=1)]               # (nb_loc,3)
+                rcl = rf.reshape(nbc_loc, width, 3)
+                parts_l = [jnp.sum(rcl, axis=1)]               # (nbc_loc,3)
                 if n_basis == 2:
                     parts_l.append(jnp.sum(rcl * rampw[None, :, None],
                                            axis=1))
                 rc_l = jnp.stack(parts_l, axis=0)              # (nb_basis,...)
-                rc = jax.lax.all_gather(rc_l, axis)            # (D,nb_b,nb_loc,3)
-                # global dof order fb*3*nb + comp*nb + cluster, with
-                # cluster = dev*nb_loc + local cluster
-                rc = jnp.moveaxis(rc, (1, 3), (0, 1))          # (nb_b,3,D,nb_loc)
+                rc = jax.lax.all_gather(rc_l, axis)            # (D,nb_b,nbc_loc,3)
+                # global dof order fb*3*nbc + comp*nbc + cluster, with
+                # cluster = dev*nbc_loc + local cluster
+                rc = jnp.moveaxis(rc, (1, 3), (0, 1))          # (nb_b,3,D,nbc_loc)
                 rc_vec = rc.reshape(-1)
                 zc = ainv_r.astype(dtype) @ rc_vec
-                zc = zc.reshape(n_basis, 3, n_dev, nb_loc)
+                zc = zc.reshape(n_basis, 3, n_dev, nbc_loc)
                 zme = jax.lax.dynamic_index_in_dim(
                     jnp.moveaxis(zc, 2, 0), me, axis=0,
-                    keepdims=False)                            # (nb_b,3,nb_loc)
-                zn = jnp.repeat(zme[0].T[:, None, :], 128, axis=1)
+                    keepdims=False)                            # (nb_b,3,nbc_loc)
+                zn = jnp.repeat(zme[0].T[:, None, :], width, axis=1)
                 if n_basis == 2:
                     zn = zn + zme[1].T[:, None, :] * rampw[None, :, None]
                 return zn.reshape(-1, 3) * freef
@@ -225,7 +230,7 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
         if use_coarse:
             from .pallas_cg import _coarse_inverse
             ainv = _coarse_inverse(model_, model_.chain, active, free,
-                                   cfg, nb_tot)
+                                   cfg, nb_tot, kblk)
             u_k, free, x0_n = u_k[perm], free[perm], x0[perm]
             inv_blocks = inv_blocks[perm]
         else:

@@ -94,19 +94,23 @@ def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
     operator is built by pallas_cg._coarse_inverse and densely inverted —
     ~400x400 at 1e5 DOF). Reference analogue: the 'gamg' leg of the PETSc
     sweep (src/fea_petsc_solverAndPC.cpp:223)."""
-    from .pallas_cg import _coarse_inverse, _ramp_weight, plan_nb
+    from .pallas_cg import (_coarse_inverse, _ramp_weight,
+                            coarse_cluster_blocks, plan_nb)
     plan = model.chain
     free = model.free_nodes if free_nodes is None else free_nodes
     n = model.n_nodes
     nb = plan_nb(n)
-    nc3 = 3 * nb
+    kblk = coarse_cluster_blocks(nb, cfg)     # blocks per cluster
+    width = kblk * 128
+    nbc = -(-nb // kblk)
+    nc3 = 3 * nbc
     use_ramp = cfg.coarse_basis == "linear"
-    ainv = _coarse_inverse(model, plan, active, free, cfg, nb)
+    ainv = _coarse_inverse(model, plan, active, free, cfg, nb, kblk)
     inv_blocks = (invert_blocks(diag_blocks(model, active, cfg, free))
                   if include_blocks else None)
     pos = plan.inv_perm                       # node -> chain position
-    cl = pos // 128
-    ramp = _ramp_weight(pos % 128).astype(model.coords.dtype)
+    cl = pos // width
+    ramp = _ramp_weight(pos % width, width).astype(model.coords.dtype)
     fmask = free.astype(model.coords.dtype)
 
     def pc(r):                                # r: (N,3) node space
@@ -120,12 +124,12 @@ def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
         for fb in range(2 if use_ramp else 1):
             wgt = rf * (ramp[:, None] if fb else 1.0)
             for k in range(3):
-                rc = rc.at[fb * nc3 + k * nb + cl].add(wgt[:, k])
+                rc = rc.at[fb * nc3 + k * nbc + cl].add(wgt[:, k])
         zc = (ainv.astype(r.dtype) @ rc)
-        zn = jnp.stack([zc[k * nb + cl] for k in range(3)], axis=1)
+        zn = jnp.stack([zc[k * nbc + cl] for k in range(3)], axis=1)
         if use_ramp:
             zn = zn + ramp[:, None] * jnp.stack(
-                [zc[nc3 + k * nb + cl] for k in range(3)], axis=1)
+                [zc[nc3 + k * nbc + cl] for k in range(3)], axis=1)
         return z + zn * fmask[:, None]
 
     return pc
@@ -136,34 +140,38 @@ def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
     """Cluster Galerkin coarse correction operating on CHAIN-PERMUTED
     residuals: clusters = 128 consecutive chain positions, so restriction
     is a reshape-sum and prolongation a broadcast (zero gathers)."""
-    from .pallas_cg import _coarse_inverse, _ramp_weight, plan_nb
+    from .pallas_cg import (_coarse_inverse, _ramp_weight,
+                            coarse_cluster_blocks, plan_nb)
     plan = model.chain
     free = model.free_nodes if free_nodes is None else free_nodes
     n = model.n_nodes
     nb = plan_nb(n)
+    kblk = coarse_cluster_blocks(nb, cfg)
+    width = kblk * 128
+    nbc = -(-nb // kblk)
     use_ramp = cfg.coarse_basis == "linear"
-    ainv = _coarse_inverse(model, plan, active, free, cfg, nb)
+    ainv = _coarse_inverse(model, plan, active, free, cfg, nb, kblk)
     dtype = model.coords.dtype
-    pos = jnp.arange(nb * 128, dtype=jnp.int32)
-    rampw = _ramp_weight(pos % 128).astype(dtype)          # (nb*128,)
+    pos = jnp.arange(nbc * width, dtype=jnp.int32)
+    rampw = _ramp_weight(pos % width, width).astype(dtype)  # (nbc*width,)
     free_p = free[plan.perm].astype(dtype)                 # chain order
 
     def cc(r):                                             # r: (N,3) chain
         rf = r * free_p[:, None]
-        rpad = jnp.pad(rf, ((0, nb * 128 - n), (0, 0)))
-        rcl = rpad.reshape(nb, 128, 3)
-        rc0 = jnp.sum(rcl, axis=1)                         # (nb, 3)
-        # dof order: fb*3nb + comp*nb + cluster
+        rpad = jnp.pad(rf, ((0, nbc * width - n), (0, 0)))
+        rcl = rpad.reshape(nbc, width, 3)
+        rc0 = jnp.sum(rcl, axis=1)                         # (nbc, 3)
+        # dof order: fb*3nbc + comp*nbc + cluster
         parts = [rc0.T.reshape(-1)]
         if use_ramp:
-            rw = rampw.reshape(nb, 128, 1)
+            rw = rampw.reshape(nbc, width, 1)
             parts.append(jnp.sum(rcl * rw, axis=1).T.reshape(-1))
         zc = ainv.astype(dtype) @ jnp.concatenate(parts)
-        zc0 = zc[:3 * nb].reshape(3, nb).T                 # (nb, 3)
-        zn = jnp.repeat(zc0[:, None, :], 128, axis=1)      # (nb, 128, 3)
+        zc0 = zc[:3 * nbc].reshape(3, nbc).T               # (nbc, 3)
+        zn = jnp.repeat(zc0[:, None, :], width, axis=1)    # (nbc, width, 3)
         if use_ramp:
-            zc1 = zc[3 * nb:6 * nb].reshape(3, nb).T
-            zn = zn + zc1[:, None, :] * rampw.reshape(nb, 128, 1)
+            zc1 = zc[3 * nbc:6 * nbc].reshape(3, nbc).T
+            zn = zn + zc1[:, None, :] * rampw.reshape(nbc, width, 1)
         return zn.reshape(-1, 3)[:n] * free_p[:, None]
 
     return cc

@@ -97,17 +97,25 @@ def test_sharded_ramp_matches_single_chip():
                                rtol=1e-7, atol=1e-16)
 
 
-@pytest.mark.parametrize("basis", ["const", "linear"])
-def test_sharded_coarse_preconditioner(growth_mesh, basis):
+@pytest.mark.parametrize("basis,cap", [("const", None), ("linear", None),
+                                       ("const", 6)])
+def test_sharded_coarse_preconditioner(growth_mesh, basis, cap):
     """The sharded two-level CG (block-Jacobi + replicated coarse solve in
     chain order) must reproduce the single-chip 'coarse' PC: same solution
     and essentially the same iteration path. (Whether the coarse level
     helps is mesh-dependent — it wins on large/loopy meshes, see
-    docs/PERFORMANCE.md — so the contract here is sharding fidelity.)"""
+    docs/PERFORMANCE.md — so the contract here is sharding fidelity.)
+    cap=6 forces widened clusters (coarse_max_dim, kblk>1): the shard
+    padding quantum and cluster restriction must track the same width."""
     coords, conn = growth_mesh
     import dataclasses
     base = archive_parity_config(grip_length=0.3, operator="chain")
-    cfg = dataclasses.replace(base, precond="coarse", coarse_basis=basis)
+    cfg = dataclasses.replace(base, precond="coarse", coarse_basis=basis,
+                              **({"coarse_max_dim": cap} if cap else {}))
+    if cap is not None:
+        from mycelium_tpu.fea.pallas_cg import (coarse_cluster_blocks,
+                                                plan_nb)
+        assert coarse_cluster_blocks(plan_nb(coords.shape[0]), cfg) > 1
     model = build_model(coords, conn, base)
     active = jnp.ones((model.n_elems,), bool)
     x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)

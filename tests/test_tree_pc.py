@@ -191,6 +191,51 @@ def test_tree_plus_coarse_weight_matches_tree_solution():
     assert float(jnp.abs(res.x - ref.x).max()) / scale < 1e-7
 
 
+@pytest.mark.parametrize("cap", [6, 9])
+def test_coarse_wide_clusters_same_solution(cap):
+    """coarse_max_dim widens clusters to kblk consecutive 128-blocks so
+    the dense coarse operator stays bounded at large n (the uncapped
+    on-device inverse grows as 3n/128 and crashes the TPU worker past
+    ~4.7k dim — 330k-node meshes need kblk>1). The correction is a pure
+    preconditioner: wide-cluster solves must reproduce the tree-only
+    solution, for both the additive tree+coarse PC and the standalone
+    'coarse' PC."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mycelium_tpu.fea.pallas_cg import coarse_cluster_blocks, plan_nb
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+    from mycelium_tpu.fea.solve import solve_displacement
+
+    coords, conn = random_forest_mesh(n_nodes=600, n_extra=12, seed=11)
+    base = FeaConfig(dtype="float64", rtol=1e-11, operator="chain",
+                     precond="tree", warm_start=False, grip_length=0.1)
+    m = build_model(coords, conn, base)
+    grip = np.asarray(m.top_nodes) | np.asarray(m.bot_nodes)
+    anch = jnp.asarray(anchored_mask_host(
+        np.asarray(m.conn), np.ones(m.n_elems, bool), grip))
+    act = jnp.ones((m.n_elems,), bool)
+    x0 = jnp.zeros((m.n_nodes, 3))
+    ref = solve_displacement(m, act, 0.01, -0.01, x0, base, anch)
+    scale = max(float(jnp.abs(ref.x).max()), 1e-30)
+
+    wide = dataclasses.replace(base, coarse_max_dim=cap)
+    assert coarse_cluster_blocks(plan_nb(m.n_nodes), wide) > 1, \
+        "cap did not widen the clusters — test is vacuous"
+
+    res = solve_displacement(m, act, 0.01, -0.01, x0,
+                             dataclasses.replace(wide,
+                                                 tree_coarse_weight=0.25),
+                             anch)
+    assert bool(res.converged)
+    assert float(jnp.abs(res.x - ref.x).max()) / scale < 1e-7
+
+    resc = solve_displacement(
+        m, act, 0.01, -0.01, x0,
+        dataclasses.replace(wide, precond="coarse", rtol=1e-11), anch)
+    assert bool(resc.converged)
+    assert float(jnp.abs(resc.x - ref.x).max()) / scale < 1e-7
+
+
 @pytest.mark.parametrize("max_len", [4, 16])
 def test_split_schedule_matches_unbounded(max_len):
     """max_path_len chops long paths by demoting cut nodes to the next
