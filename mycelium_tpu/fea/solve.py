@@ -179,13 +179,28 @@ def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
 
 def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         precond: Callable, rtol: float, atol: float,
-        max_iter: int, bnorm=None) -> SolveResult:
+        max_iter: int, bnorm=None, stall_window: int = 256,
+        stall_accept: float = 10.0) -> SolveResult:
     """Preconditioned conjugate gradients on the SPD BC'd operator.
 
     ``bnorm`` lets the caller scale rtol by the *condensed* RHS (free rows
     only) — the full b carries the prescribed values on identity rows, whose
     much larger norm would make the tolerance artificially loose.
-    """
+
+    Stagnation exit: f32 CG can hit its roundoff floor a hair ABOVE the
+    requested tolerance (measured at 330k nodes: residual pinned at
+    1.0x-to-few-x tol from iteration ~8 on), and without an exit the loop
+    spins to max_iter — a 20000-iteration device execution that the axon
+    relay kills, surfacing as a TPU worker crash. If the best residual has
+    not improved by 0.1% in ``stall_window`` iterations the loop exits
+    (256 is conservative: ill-conditioned unpreconditioned CG plateaus for
+    tens of iterations mid-run while still converging — the window must
+    sit well above that, and the production tree-PC solves finish in
+    ≤~100 iterations anyway);
+    the result still counts as converged when the floor is within
+    ``stall_accept``·tol (the true solution error there is dominated by
+    f32 operator roundoff, not the Krylov iteration). A genuine stall far
+    from tol reports converged=False for the drivers' divergence guard."""
     if bnorm is None:
         bnorm = jnp.sqrt(_dot(b, b))
     tol = jnp.maximum(rtol * bnorm, atol)
@@ -193,15 +208,16 @@ def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     r0 = b - operator(x0)
     z0 = precond(r0)
     rz0 = _dot(r0, z0)
-    state0 = (x0, r0, z0, z0, rz0, jnp.sqrt(_dot(r0, r0)),
-              jnp.asarray(0, jnp.int32))
+    rn0 = jnp.sqrt(_dot(r0, r0))
+    state0 = (x0, r0, z0, z0, rz0, rn0,
+              jnp.asarray(0, jnp.int32), rn0, jnp.asarray(0, jnp.int32))
 
     def cond(s):
-        _, _, _, _, _, rnorm, k = s
-        return jnp.logical_and(k < max_iter, rnorm > tol)
+        rnorm, k, _, since = s[-4], s[-3], s[-2], s[-1]
+        return (k < max_iter) & (rnorm > tol) & (since < stall_window)
 
     def body(s):
-        x, r, z, p, rz, _, k = s
+        x, r, z, p, rz, _, k, best, since = s
         ap = operator(p)
         pap = _dot(p, ap)
         alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
@@ -211,10 +227,17 @@ def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         rz_new = _dot(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, jnp.sqrt(_dot(r, r)), k + 1)
+        rnorm = jnp.sqrt(_dot(r, r))
+        improved = rnorm < best * (1.0 - 1e-3)
+        best = jnp.minimum(best, rnorm)
+        since = jnp.where(improved, 0, since + 1)
+        return (x, r, z, p, rz_new, rnorm, k + 1, best, since)
 
-    x, r, _, _, _, rnorm, k = jax.lax.while_loop(cond, body, state0)
-    return SolveResult(x=x, iters=k, resnorm=rnorm, converged=rnorm <= tol)
+    x, r, _, _, _, rnorm, k, _, since = \
+        jax.lax.while_loop(cond, body, state0)
+    stalled = since >= stall_window
+    converged = (rnorm <= tol) | (stalled & (rnorm <= stall_accept * tol))
+    return SolveResult(x=x, iters=k, resnorm=rnorm, converged=converged)
 
 
 def bicgstab(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,

@@ -222,3 +222,53 @@ def test_ramp_refuses_diverged_solves():
         run_ramp(sc.coords, sc.conn, cfg)
     with pytest.raises(SolveDivergedError):
         run_ramp_scan(sc.coords, sc.conn, cfg)
+
+
+def test_pcg_stagnation_exit():
+    """f32 CG can floor a hair above a too-tight tolerance; without a
+    stagnation exit the loop spins to max_iter (measured at 330k nodes:
+    a 20000-iteration device execution that the TPU relay kills). pcg
+    must exit once the best residual stops improving, and report
+    converged only when the floor is within stall_accept of tol."""
+    from mycelium_tpu.fea.solve import pcg
+
+    n = 512
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    # eigenvalues spread over 4 decades; in f32 the recurrence residual
+    # floors around eps*kappa relative and NEVER reaches an exact zero
+    # (unlike a tiny well-conditioned system, where Krylov exact
+    # termination gives 0.0) — the same floor the 330k-node f32 solve hit
+    lam = np.logspace(0, 4, n)
+    mat32 = jnp.asarray((q * lam) @ q.T, jnp.float32)
+    b32 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    op32 = lambda v: mat32 @ v  # noqa: E731
+    ident = lambda r: r         # noqa: E731
+    x032 = jnp.zeros(n, jnp.float32)
+
+    # tolerance far below the f32 floor: must stall-exit, not run to
+    # max_iter (the 330k runaway was a 20000-iteration device execution)
+    res = pcg(op32, b32, x032, ident, rtol=0.0, atol=1e-30,
+              max_iter=50000, stall_window=64)
+    assert int(res.iters) < 49999, "stagnation exit did not fire"
+    assert float(res.resnorm) > 0.0
+    assert not bool(res.converged)
+    # solution is still the floored-CG answer: true residual near the floor
+    rel = float(jnp.linalg.norm(mat32 @ res.x - b32) /
+                jnp.linalg.norm(b32))
+    assert rel < 1e-2
+
+    # same stall, but the floor is within stall_accept of tol -> converged
+    floor = float(res.resnorm)
+    res2 = pcg(op32, b32, x032, ident, rtol=0.0, atol=floor * 0.5,
+               max_iter=50000, stall_window=64, stall_accept=10.0)
+    assert bool(res2.converged), (float(res2.resnorm), floor)
+
+    # a genuinely converging solve is untouched by the stall machinery
+    mat = jnp.asarray((q * lam) @ q.T, jnp.float64)
+    b = jnp.asarray(rng.standard_normal(n))
+    res3 = pcg(lambda v: mat @ v, b, jnp.zeros(n), ident,
+               rtol=1e-8, atol=0.0, max_iter=20000)
+    assert bool(res3.converged)
+    assert float(jnp.linalg.norm(mat @ res3.x - b)) <= \
+        1e-8 * float(jnp.linalg.norm(b)) * 1.01
