@@ -196,7 +196,12 @@ def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     (256 is conservative: ill-conditioned unpreconditioned CG plateaus for
     tens of iterations mid-run while still converging — the window must
     sit well above that, and the production tree-PC solves finish in
-    ≤~100 iterations anyway);
+    ≤~100 iterations anyway). A plateau already WITHIN ``stall_accept``
+    of tol exits after stall_window/8 — CG's residual collapses quickly
+    once the Krylov space resolves a mode, so 32 flat iterations next to
+    the tolerance are conclusive, and burning the full window there cost
+    2.5s per 330k-node solve (measured: floor at iteration ~5, exit at
+    261);
     the result still counts as converged when the floor is within
     ``stall_accept``·tol (the true solution error there is dominated by
     f32 operator roundoff, not the Krylov iteration). A genuine stall far
@@ -212,9 +217,13 @@ def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     state0 = (x0, r0, z0, z0, rz0, rn0,
               jnp.asarray(0, jnp.int32), rn0, jnp.asarray(0, jnp.int32))
 
+    near_window = max(stall_window // 8, 8)
+
     def cond(s):
         rnorm, k, _, since = s[-4], s[-3], s[-2], s[-1]
-        return (k < max_iter) & (rnorm > tol) & (since < stall_window)
+        near = rnorm <= stall_accept * tol
+        stalled = since >= jnp.where(near, near_window, stall_window)
+        return (k < max_iter) & (rnorm > tol) & ~stalled
 
     def body(s):
         x, r, z, p, rz, _, k, best, since = s
@@ -235,7 +244,7 @@ def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 
     x, r, _, _, _, rnorm, k, _, since = \
         jax.lax.while_loop(cond, body, state0)
-    stalled = since >= stall_window
+    stalled = since >= near_window
     converged = (rnorm <= tol) | (stalled & (rnorm <= stall_accept * tol))
     return SolveResult(x=x, iters=k, resnorm=rnorm, converged=converged)
 
