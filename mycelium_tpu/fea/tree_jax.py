@@ -347,6 +347,10 @@ def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, k_pad, fill_B):
         M = M.at[ti, tj].add(fb)
         M = M.at[tj, ti].add(jnp.swapaxes(fb, -1, -2))
     Md = jnp.transpose(M, (0, 2, 1, 3)).reshape(3 * Sd, 3 * Sd)
+    if Md.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        # TPU LuDecomposition is f32-only; an f32 inverse is fine for a
+        # preconditioner factor (CG corrects the PC's rounding).
+        return jnp.linalg.inv(Md.astype(jnp.float32)).astype(Md.dtype)
     return jnp.linalg.inv(Md)
 
 
