@@ -33,19 +33,24 @@ from .growth_scale import PRESETS
 def run(preset: str = "medium", fea_steps: int = 40):
     from ..fea.ramp import run_ramp_scan, truncate_after_fracture
     from ..growth.export import state_mesh
-    from ..growth.step import run_growth_scan
+    from ..growth.step import run_growth_chunked, run_growth_scan
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
     gcfg = PRESETS[preset]
+    if gcfg.max_segments >= 1 << 20:
+        # bounded device executions at xlarge (see run_growth_chunked)
+        grow_fn = lambda c: run_growth_chunked(c, chunk_steps=10)  # noqa: E731
+    else:
+        grow_fn = run_growth_scan
 
     # --- stage 1: growth (one XLA program) ---
     # warm-up runs the SAME program (scan length is baked into the XLA
     # program, so a short-run warm-up would not precompile it); the
     # persistent cache makes this near-free on repeat invocations
-    run_growth_scan(gcfg)
+    grow_fn(gcfg)
     t0 = time.perf_counter()
-    st, _, history = run_growth_scan(gcfg)
+    st, _, history = grow_fn(gcfg)
     t_growth = time.perf_counter() - t0
     n_seg = int(history[-1]["segments"])
 

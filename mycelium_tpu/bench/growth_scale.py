@@ -56,10 +56,10 @@ PRESETS = {
 }
 
 
-def run(names, t_steps: int | None = None):
+def run(names, t_steps: int | None = None, verbose: bool = False):
     import jax
 
-    from ..growth.step import run_growth_scan
+    from ..growth.step import run_growth_chunked, run_growth_scan
     from ..utils import enable_compilation_cache
     enable_compilation_cache()
 
@@ -68,12 +68,20 @@ def run(names, t_steps: int | None = None):
         cfg = PRESETS[name]
         if t_steps is not None:
             cfg = dataclasses.replace(cfg, t_steps=t_steps)
+        # xlarge-class runs (>= 2^20 slots, ~1-3 s/step) must split into
+        # bounded device executions: the axon relay kills a single
+        # multi-minute execution (run_growth_chunked docstring)
+        if cfg.max_segments >= 1 << 20:
+            driver = lambda c: run_growth_chunked(  # noqa: E731
+                c, chunk_steps=10, verbose=verbose)
+        else:
+            driver = run_growth_scan
         # warm-up runs the SAME program: scan length is baked into the XLA
         # program, so a short-run warm-up would not precompile it (the
         # persistent cache makes this near-free on repeat invocations)
-        run_growth_scan(cfg)
+        driver(cfg)
         t0 = time.perf_counter()
-        st, _, history = run_growth_scan(cfg)
+        st, _, history = driver(cfg)
         # run_growth_scan value-fetches the stats, so the clock is closed
         wall = time.perf_counter() - t0
         final = history[-1]
@@ -94,4 +102,4 @@ def run(names, t_steps: int | None = None):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run(args or ["demo", "medium"])
+    run(args or ["demo", "medium"], verbose="--verbose" in sys.argv)

@@ -127,6 +127,17 @@ def _scan_growth(st: GrowthState, env: EnvArrays, cfg: GrowthConfig):
     return jax.lax.scan(body, st, None, length=cfg.t_steps)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _scan_growth_chunk(st: GrowthState, env: EnvArrays, cfg: GrowthConfig,
+                       n_steps: int):
+    def body(carry, _):
+        st = growth_step(carry, env, cfg)
+        stats = summarize_device(st, cfg)
+        return st, stats
+
+    return jax.lax.scan(body, st, None, length=n_steps)
+
+
 def run_growth_scan(cfg: GrowthConfig, env: Environment | None = None,
                     seed: int | None = None):
     """Fully-on-device driver: one XLA program for the whole run; stats for
@@ -143,4 +154,48 @@ def run_growth_scan(cfg: GrowthConfig, env: Environment | None = None,
                for k, v in stats.items()}
         row["step"] = t
         history.append(row)
+    return st, ea, history
+
+
+def run_growth_chunked(cfg: GrowthConfig, env: Environment | None = None,
+                       seed: int | None = None, chunk_steps: int = 10,
+                       verbose: bool = False):
+    """Scan driver split into bounded device executions.
+
+    The one-program scan (`run_growth_scan`) is the fastest shape for
+    benchmark-sized runs, but at the xlarge preset (2^21 segment slots,
+    ~1-3 s/step) the whole 150-step run becomes one multi-minute device
+    execution — and the axon relay kills long executions, which surfaces
+    as `UNAVAILABLE: TPU device error` (measured; the same mechanism that
+    killed >20000-iteration CG loops, see fea/solve.py pcg docstring).
+    Here the scan runs `chunk_steps` steps per dispatch with a host sync
+    between chunks (~30 ms RTT each — noise next to the chunk's compute),
+    so no single execution exceeds the relay's patience. The trajectory is
+    bit-identical to run_growth_scan: same ops, same order, the chunk
+    boundary only moves the loop carry through the host queue.
+    """
+    if env is None:
+        env = petri_dish(cfg)
+    st, ea = init_state(cfg, env, seed)
+    parts = []
+    done = 0
+    while done < cfg.t_steps:
+        n = min(chunk_steps, cfg.t_steps - done)
+        t0 = time.perf_counter()
+        st, stats = _scan_growth_chunk(st, ea, cfg, n)
+        parts.append(jax.device_get(stats))   # fetch = the only real sync
+        done += n
+        if verbose:
+            print(f"  growth steps {done - n}..{done - 1}: "
+                  f"{time.perf_counter() - t0:.2f} s "
+                  f"({int(parts[-1]['segments'][-1])} segments)",
+                  flush=True)
+    history = []
+    for ci, stats in enumerate(parts):
+        base = ci * chunk_steps
+        for t in range(len(stats["segments"])):
+            row = {k: (float(v[t]) if k == "total_length_mm"
+                       else int(v[t])) for k, v in stats.items()}
+            row["step"] = base + t
+            history.append(row)
     return st, ea, history

@@ -107,6 +107,21 @@ def test_growth_scan_matches_loop_driver():
     np.testing.assert_allclose(np.asarray(st1.end), np.asarray(st2.end))
 
 
+def test_growth_chunked_matches_scan_driver():
+    """The bounded-dispatch driver (xlarge path) is bit-identical to the
+    one-program scan: the chunk boundary only moves the carry through the
+    host queue. Chunk 4 over 10 steps covers the uneven-tail case."""
+    from mycelium_tpu.growth.step import run_growth_chunked
+    cfg = GrowthConfig(t_steps=10, max_segments=4096, max_hyphae=2048)
+    st1, _, h1 = run_growth_scan(cfg)
+    st2, _, h2 = run_growth_chunked(cfg, chunk_steps=4)
+    assert h1 == h2
+    np.testing.assert_array_equal(np.asarray(st1.state),
+                                  np.asarray(st2.state))
+    np.testing.assert_array_equal(np.asarray(st1.end), np.asarray(st2.end))
+    np.testing.assert_array_equal(np.asarray(st1.key), np.asarray(st2.key))
+
+
 def test_growth_3d_variant():
     cfg = growth_3d_config(max_segments=8192, max_hyphae=4096)
     st, ea, hist = run_growth(cfg)
