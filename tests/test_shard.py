@@ -119,9 +119,19 @@ def test_sharded_coarse_preconditioner(growth_mesh, basis, cap):
     model = build_model(coords, conn, base)
     active = jnp.ones((model.n_elems,), bool)
     x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
-    ref = solve_displacement(model, active, 0.005, -0.005, x0, cfg)
+    # pin grip-unreachable islands like every ramp driver does: their
+    # near-null modes are fixed only by reg*I, so two CG runs with
+    # different reduction orders legitimately drift apart there (~1e-6
+    # at 1e-12 rtol) — the fidelity contract applies to the well-posed
+    # anchored subspace
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+    anchored = jnp.asarray(anchored_mask_host(
+        np.asarray(model.conn), np.ones(model.n_elems, bool),
+        np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))))
+    ref = solve_displacement(model, active, 0.005, -0.005, x0, cfg,
+                             anchored)
     tl = sharded_cg_solver(model, cfg, default_mesh(8))(
-        active, 0.005, -0.005, x0)
+        active, 0.005, -0.005, x0, anchored)
     assert bool(tl.converged)
     err = np.linalg.norm(np.asarray(tl.x) - np.asarray(ref.x))
     assert err < 1e-6, f"sharded vs 1-chip coarse L2 {err:.3e}"
