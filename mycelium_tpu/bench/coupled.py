@@ -30,6 +30,10 @@ from ..config import tuned_fea_config
 from .growth_scale import PRESETS
 
 
+def _note(msg: str) -> None:
+    print(f"[coupled] {msg}", file=sys.stderr, flush=True)
+
+
 def run(preset: str = "medium", fea_steps: int = 40):
     from ..fea.ramp import run_ramp_scan, truncate_after_fracture
     from ..growth.export import state_mesh
@@ -47,18 +51,26 @@ def run(preset: str = "medium", fea_steps: int = 40):
     # --- stage 1: growth (one XLA program) ---
     # warm-up runs the SAME program (scan length is baked into the XLA
     # program, so a short-run warm-up would not precompile it); the
-    # persistent cache makes this near-free on repeat invocations
-    grow_fn(gcfg)
+    # persistent cache makes this near-free on repeat invocations.
+    # The chunked driver's program unit is one chunk, so one chunk warms it.
+    if gcfg.max_segments >= 1 << 20:
+        import dataclasses
+        grow_fn(dataclasses.replace(gcfg, t_steps=10))
+    else:
+        grow_fn(gcfg)
     t0 = time.perf_counter()
     st, _, history = grow_fn(gcfg)
     t_growth = time.perf_counter() - t0
     n_seg = int(history[-1]["segments"])
+    _note(f"growth done: {n_seg} segments in {t_growth:.1f} s")
 
     # --- stage boundary: host-side mesh extraction (native dedup) ---
     t0 = time.perf_counter()
     coords, conn = state_mesh(st)
     t_export = time.perf_counter() - t0
     n_dof = 3 * coords.shape[0]
+    _note(f"export done: {coords.shape[0]} nodes / {n_dof} DOF "
+          f"in {t_export:.1f} s")
 
     # --- stage 2: the pull test (assemble+bc+solve+fracture per step) ---
     from ..fea.model import build_model
@@ -66,8 +78,19 @@ def run(preset: str = "medium", fea_steps: int = 40):
     t0 = time.perf_counter()
     model = build_model(coords, conn, fcfg)
     t_plan = time.perf_counter() - t0
-    # same-program compile warm-up as the growth stage
-    run_ramp_scan(coords, conn, fcfg, model=model)
+    _note(f"model build done in {t_plan:.1f} s")
+    # same-program compile warm-up as the growth stage. Hybrid large-mesh
+    # models run the Python-loop driver whose jitted step program does not
+    # bake in n_steps — a 2-step ramp warms it without paying the full
+    # 40 x ~1 s solve cost twice.
+    if getattr(model, "tree_packed_big", None) is not None \
+            or model.n_nodes > (1 << 18):
+        import dataclasses
+        run_ramp_scan(coords, conn,
+                      dataclasses.replace(fcfg, n_steps=2), model=model)
+    else:
+        run_ramp_scan(coords, conn, fcfg, model=model)
+    _note("ramp warm-up done")
     t0 = time.perf_counter()
     res = truncate_after_fracture(run_ramp_scan(coords, conn, fcfg,
                                                 model=model))

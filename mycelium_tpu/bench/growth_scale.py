@@ -78,8 +78,14 @@ def run(names, t_steps: int | None = None, verbose: bool = False):
             driver = run_growth_scan
         # warm-up runs the SAME program: scan length is baked into the XLA
         # program, so a short-run warm-up would not precompile it (the
-        # persistent cache makes this near-free on repeat invocations)
-        driver(cfg)
+        # persistent cache makes this near-free on repeat invocations).
+        # The chunked driver's program unit is one chunk_steps-scan, so a
+        # single-chunk run warms it fully — no need to execute all
+        # t_steps twice at ~1-3 s/step.
+        if cfg.max_segments >= 1 << 20:
+            driver(dataclasses.replace(cfg, t_steps=10))
+        else:
+            driver(cfg)
         t0 = time.perf_counter()
         st, _, history = driver(cfg)
         # run_growth_scan value-fetches the stats, so the clock is closed

@@ -320,15 +320,19 @@ def run_ramp_scan(coords, conn, cfg: FeaConfig,
     t0 = time.time()
     if model is None:
         model = build_model(coords, conn, cfg)
-    if getattr(model, "tree_packed_big", None) is not None:
-        # Large-mesh hybrid models run the ramp as the Python-loop driver:
+    if getattr(model, "tree_packed_big", None) is not None \
+            or model.n_nodes > (1 << 18):
+        # Large-mesh models run the ramp as the Python-loop driver:
         # the two-program composition (jitted factorization + jitted CG
         # step, chained on the host) compiles in ~2 min at 309k DOF and
         # reuses the factorization across steps with an unchanged active
         # mask, while folding everything into one n_steps-scan would put
         # the factorization + whole CG in a single much larger program
         # for no wall-clock benefit (solves are 100+ ms — the ~60 us
-        # per-dispatch saving of a scan is noise at this scale).
+        # per-dispatch saving of a scan is noise at this scale). Beyond
+        # ~2^18 nodes the scan would also be one multi-minute device
+        # execution, which the axon relay kills (run_growth_chunked
+        # docstring) — the per-step loop keeps executions bounded.
         return run_ramp(coords, conn, cfg, model=model)
     stress, active, disp, fd, iters, converged = _scan_ramp(model, cfg)
     jax.block_until_ready(stress)

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import FeaConfig
 from .bc import prescribed_values
+from .blocks import mv3
 from .model import FeaModel, diag_blocks, invert_blocks
 from .solve import SolveResult
 
@@ -172,10 +173,10 @@ def sharded_cg_solver(model: FeaModel, cfg: FeaConfig, mesh: Mesh,
                 return zn.reshape(-1, 3) * freef
 
             def precond(r_l):
-                return jnp.einsum("nij,nj->ni", inv_b_l, r_l) + coarse(r_l)
+                return mv3(inv_b_l, r_l) + coarse(r_l)
         else:
             def precond(r_l):
-                return jnp.einsum("nij,nj->ni", inv_b_l, r_l)
+                return mv3(inv_b_l, r_l)
 
         b_l = jnp.where(freef, -matvec_k(u_k_l), u_k_l)
         bnorm = jnp.sqrt(pdot(jnp.where(freef, b_l, 0.0),

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FeaConfig
+from .blocks import mv3
 from .model import FeaModel, diag_blocks, invert_blocks
 
 
@@ -82,7 +83,7 @@ def make_preconditioner(model: FeaModel, active: jnp.ndarray,
         inv_d = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
         return lambda r: r * inv_d
     inv_blocks = invert_blocks(blocks)
-    return lambda r: jnp.einsum("nij,nj->ni", inv_blocks, r)
+    return lambda r: mv3(inv_blocks, r)
 
 
 def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
@@ -114,7 +115,7 @@ def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
     fmask = free.astype(model.coords.dtype)
 
     def pc(r):                                # r: (N,3) node space
-        z = (jnp.einsum("nij,nj->ni", inv_blocks, r) if include_blocks
+        z = (mv3(inv_blocks, r) if include_blocks
              else jnp.zeros_like(r))
         rf = r * fmask[:, None]
         # restriction: coarse dof (basis fb, comp k, cluster c) =
@@ -557,7 +558,7 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
         elif cfg.precond != "none":
             inv_blocks = invert_blocks(diag_blocks(model, active, cfg,
                                                    free))[plan.perm]
-            precond = lambda r: jnp.einsum("nij,nj->ni", inv_blocks, r)  # noqa: E731
+            precond = lambda r: mv3(inv_blocks, r)  # noqa: E731
         else:
             precond = lambda r: r  # noqa: E731
         bnorm = jnp.sqrt(_dot(jnp.where(freef, b, 0.0),

@@ -267,11 +267,11 @@ def _shift(x, k):
 
 
 HI = jax.lax.Precision.HIGHEST   # TPU einsum defaults to bf16 passes;
-                                  # 3x3 block algebra needs full f32
+                                  # kept for the true-matvec dense tail
 
-
-def _mm(a, b):
-    return jnp.einsum("nij,njk->nik", a, b, precision=HI)
+# component-unrolled block algebra (see blocks.py: the einsum forms
+# lower to dot_generals whose TPU layouts pad 3x3 operands 56.9x)
+from .blocks import mm3 as _mm, mtv3 as _mtv3, mv3 as _mv3  # noqa: E402
 
 
 def _pcr_coeffs(D, B, steps):
@@ -304,9 +304,7 @@ def _pcr_apply(alphas, betas, dinv, r):
     """x = T^{-1} r given PCR coefficients. r: (S, 3, ...) -> same."""
     steps = alphas.shape[0]
     s = 1
-
-    def mv(m, v):
-        return jnp.einsum("nij,nj...->ni...", m, v, precision=HI)
+    mv = _mv3
 
     for k in range(steps):
         r = r - mv(alphas[k], _shift(r, -s)) - mv(betas[k], _shift(r, s))
@@ -525,12 +523,7 @@ def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
     t0 = meta.level_offsets[L]
     racc = jnp.concatenate(
         [r_chain[:S_tot], jnp.zeros((1, 3), r_chain.dtype)])
-
-    def mv(m, v):
-        return jnp.einsum("nij,nj->ni", m, v, precision=HI)
-
-    def mtv(m, v):
-        return jnp.einsum("nji,nj->ni", m, v, precision=HI)
+    mv, mtv = _mv3, _mtv3
 
     ys = []
     for li in range(L):
@@ -677,12 +670,7 @@ def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
     t0 = meta.level_offsets[L]
     racc = jnp.concatenate(
         [r[plan.slots], jnp.zeros((1, 3), r.dtype)])     # + sentinel
-
-    def mv(m, v):
-        return jnp.einsum("nij,nj->ni", m, v, precision=HI)
-
-    def mtv(m, v):
-        return jnp.einsum("nji,nj->ni", m, v, precision=HI)
+    mv, mtv = _mv3, _mtv3
 
     ys = []
     for li in range(L):
