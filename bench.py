@@ -137,6 +137,25 @@ def main():
     # HBM peak measures how much streaming bandwidth it replaces
     row.update(roofline_row(model, int(np.asarray(iters)[-1]),
                             value / 1e3))
+
+    # VERDICT r1 #1 asks the headline artifact to also carry the solve
+    # time at the scale BASELINE.json names (1e5+ DOF). Measure a 309k-DOF
+    # cold solve on the large-mesh path (hybrid: XLA factorization + CG
+    # with the Pallas chain matvec) and append it to the same JSON line.
+    # Reference scaling is linear in DOF on the archived sweep data
+    # (164 ms @22,125 DOF -> ~2.3 s @309k, see BASELINE.md), so
+    # vs_baseline_309k uses ref_ms = 164 * n_dof / 22125.
+    if not os.environ.get("MYC_BENCH_SMALL"):
+        try:
+            from mycelium_tpu.bench.scaling import run as scaling_run
+            big = scaling_run([103000], n_chain=4, quiet=True)[0]
+            ref_big_ms = BASELINE_MS * big["n_dof"] / 22125.0
+            row["solve_ms_309k"] = big["solve_ms"]
+            row["vs_baseline_309k"] = round(ref_big_ms / big["solve_ms"], 2)
+            row["pallas_mode_309k"] = big["pallas_mode"]
+            row["cg_iters_309k"] = big["cg_iters"]
+        except Exception as exc:   # never lose the headline to the add-on
+            row["solve_ms_309k_error"] = f"{type(exc).__name__}: {exc}"[:120]
     print(json.dumps(row))
 
 

@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def run(n_nodes_list, n_chain=8, rtol=1e-6):
+def run(n_nodes_list, n_chain=8, rtol=1e-6, quiet=False):
     import jax
     import jax.numpy as jnp
 
@@ -138,7 +138,8 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6):
         from .roofline import roofline_row
         row.update(roofline_row(model, row["cg_iters"], per_solve))
         results.append(row)
-        print(json.dumps(row), flush=True)
+        if not quiet:
+            print(json.dumps(row), flush=True)
     return results
 
 
