@@ -215,7 +215,9 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
                 chain_tree=jnp.asarray(
                     tree_pad[chain_host["chain_elem"]]),
                 jump_tree=jnp.asarray(tree_pad[chain_host["jump_elem"]]),
-                left_k3=jnp.asarray(np.asarray(left_k3, np.dtype(dtype))),
+                left_k3=jnp.asarray(np.asarray(
+                    left_k3.transpose(1, 2, 0).reshape(9, -1),
+                    np.dtype(dtype))),
                 ja=jnp.asarray(np.asarray(chain_host["ja"], np.int32)),
                 jb=jnp.asarray(np.asarray(chain_host["jb"], np.int32)),
                 meta=FastMeta(level_left_fill=tuple(

@@ -974,9 +974,13 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
         D_chain = chain_tree_diag(tplan, model.tree_fast, plan, active,
                                   free_chain,
                                   jnp.asarray(reg_pc, f32)).astype(f32)
-        Ds = jnp.concatenate(
-            [D_chain[:S_tot],
-             jnp.broadcast_to(eye, (Sp - S_tot, 3, 3))])
+        # (9, Sp) planes (identity on padding rows) are ALREADY the d9
+        # layout the kernel wants: reshape, no per-component slicing
+        pad_eye = jnp.eye(3, dtype=f32).reshape(9, 1)
+        Ds9 = jnp.concatenate(
+            [D_chain[:, :S_tot],
+             jnp.broadcast_to(pad_eye, (9, Sp - S_tot))], axis=1)
+        Ds = None
     else:
         k3 = tplan.k3.astype(f32)
         k_eff = k3 * m_tree[:, None, None].astype(f32)
@@ -987,9 +991,10 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
         D_nodes = jnp.where(free[:, None, None], D_nodes, eye[None])
         D_pad = jnp.concatenate([D_nodes, eye[None]])  # sentinel: identity
         Ds = D_pad[tree_packed.slot_node]              # (Sp,3,3)
-    d9 = jnp.concatenate(
-        [Ds[:, i, j].reshape(nbt, BLOCK) for i in range(3)
-         for j in range(3)], axis=0)
+    d9 = (Ds9.reshape(9 * nbt, BLOCK) if Ds is None else
+          jnp.concatenate(
+              [Ds[:, i, j].reshape(nbt, BLOCK) for i in range(3)
+               for j in range(3)], axis=0))
 
     # bool gathers (1 byte/row), cast after — f32 row gathers are ~10x
     mc_pad = jnp.concatenate([m_couple, jnp.zeros((1,), bool)])

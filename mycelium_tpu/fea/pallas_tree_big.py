@@ -143,7 +143,7 @@ def pallas_tree_big_solve(model, chain_packed, active,
     from .chain import plan_active_masks
     from .pallas_cg import _pack_plane, _tile3, pack_vec3, unpack_vec3
     from .solve import _coarse_chain_fn, compute_tree_factor, pcg
-    from .tree_jax import tree_apply_chain
+    from .tree_jax import tree_apply_chain_planes
 
     plan = model.chain
     n = model.n_nodes
@@ -193,20 +193,27 @@ def pallas_tree_big_solve(model, chain_packed, active,
     def operator(u):
         return _mv_call(u, True)
 
-    # tree-PC apply in XLA chain space (slots are positions [0, n_slots)
-    # — plane unpack/pack are cheap reshapes); optional coarse correction
+    # tree-PC apply in XLA chain space directly on the PACKED component
+    # planes (a plane row-slice reshaped is the chain-ordered component
+    # vector — no per-iteration (N,3) unpack/pack); optional coarse
+    # correction, its dense inverse reused from the factor
     if cfg.tree_coarse_weight > 0.0:
-        cc = _coarse_chain_fn(model, active, cfg, free)
+        cc = _coarse_chain_fn(model, active, cfg, free,
+                              ainv=factor.coarse_ainv)
         w = float(cfg.tree_coarse_weight)
     else:
         cc, w = None, 0.0
+    S_tot = model.tree.n_slots
 
     def precond(r):
-        r_chain = unpack_vec3(r, n, nbc)
-        z = tree_apply_chain(model.tree, factor, r_chain)
+        rp = tuple(r[k * nbc:(k + 1) * nbc].reshape(-1) for k in range(3))
+        up = tree_apply_chain_planes(model.tree, factor, rp)
+        zp = [jnp.concatenate([up[k], rp[k][S_tot:]]) for k in range(3)]
         if cc is not None:
-            z = z + w * cc(r_chain)
-        return pack_vec3(z, nbc)
+            zc = cc(jnp.stack([p[:n] for p in rp], axis=1))
+            zp = [zp[k] + w * jnp.pad(zc[:, k], (0, nbc * BLOCK - n))
+                  for k in range(3)]
+        return jnp.concatenate([p.reshape(nbc, BLOCK) for p in zp], axis=0)
 
     # XLA CG on the packed plane vectors (same pcg as the pure-XLA path);
     # b = pin*uk - free*(K uk) with RAW K (pinned columns kept)

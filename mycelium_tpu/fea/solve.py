@@ -137,10 +137,14 @@ def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
 
 
 def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
-                     free_nodes=None) -> Callable:
+                     free_nodes=None, ainv=None) -> Callable:
     """Cluster Galerkin coarse correction operating on CHAIN-PERMUTED
     residuals: clusters = 128 consecutive chain positions, so restriction
-    is a reshape-sum and prolongation a broadcast (zero gathers)."""
+    is a reshape-sum and prolongation a broadcast (zero gathers).
+
+    ``ainv`` optionally injects a precomputed coarse inverse (from
+    TreeFactor.coarse_ainv) — assembling it per solve costs ~52 ms at
+    309k DOF and it shares the tree factor's (active, free) invariants."""
     from .pallas_cg import (_coarse_inverse, _ramp_weight,
                             coarse_cluster_blocks, plan_nb)
     plan = model.chain
@@ -151,7 +155,8 @@ def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
     width = kblk * 128
     nbc = -(-nb // kblk)
     use_ramp = cfg.coarse_basis == "linear"
-    ainv = _coarse_inverse(model, plan, active, free, cfg, nb, kblk)
+    if ainv is None:
+        ainv = _coarse_inverse(model, plan, active, free, cfg, nb, kblk)
     dtype = model.coords.dtype
     pos = jnp.arange(nbc * width, dtype=jnp.int32)
     rampw = _ramp_weight(pos % width, width).astype(dtype)  # (nbc*width,)
@@ -442,10 +447,21 @@ def compute_tree_factor(model: FeaModel, active, cfg: FeaConfig,
         else jnp.logical_and(model.free_nodes, anchored)
     free_p = free[model.chain.perm]
     reg_pc = max(cfg.reg, cfg.tree_reg_rel * model.tree.meta.k_scale)
-    return tree_factor_fast(model.tree, model.tree_fast, model.chain,
-                            active, free, free_p,
-                            jnp.asarray(reg_pc, model.coords.dtype),
-                            model.conn)
+    factor = tree_factor_fast(model.tree, model.tree_fast, model.chain,
+                              active, free, free_p,
+                              jnp.asarray(reg_pc, model.coords.dtype),
+                              model.conn)
+    if cfg.tree_coarse_weight > 0.0 and model.chain is not None:
+        # the cluster-coarse operator shares the factor's (active, free)
+        # invariants: bundle its dense inverse so solves/ramps reuse it
+        from .pallas_cg import (_coarse_inverse, coarse_cluster_blocks,
+                                plan_nb)
+        nb = plan_nb(model.n_nodes)
+        kblk = coarse_cluster_blocks(nb, cfg)
+        ainv = _coarse_inverse(model, model.chain, active, free, cfg,
+                               nb, kblk)
+        factor = factor._replace(coarse_ainv=ainv)
+    return factor
 
 
 def solve_displacement(model: FeaModel, active: jnp.ndarray,
@@ -531,7 +547,8 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
                       else compute_tree_factor(model, active, cfg,
                                                anchored))
             if cfg.tree_coarse_weight > 0.0:
-                cc = _coarse_chain_fn(model, active, cfg, free)
+                cc = _coarse_chain_fn(model, active, cfg, free,
+                                      ainv=factor.coarse_ainv)
                 w = float(cfg.tree_coarse_weight)
                 precond = lambda r: (tree_apply_chain(model.tree, factor,  # noqa: E731
                                                       r) + w * cc(r))

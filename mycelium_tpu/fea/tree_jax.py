@@ -105,14 +105,24 @@ class TreeFactor(NamedTuple):
 
     PCR coefficients cover only the first meta.n_pcr levels; the tail
     levels' slots are solved through ``sinv``, the dense inverse of their
-    junction-Schur system."""
-    # PCR coefficients, one (steps, S_l, 3, 3) pair per PCR level
+    junction-Schur system. Block batches are stored as row-major
+    COMPONENT PLANES — (…, 9, S) instead of (…, S, 3, 3) — so the apply's
+    elementwise math runs on untiled 1-D buffers (see the plane-algebra
+    section above)."""
+    # PCR coefficients, one (steps, 9, S_l) pair per PCR level
     alphas: tuple
     betas: tuple
-    dinv: jnp.ndarray         # (S_pcr, 3, 3) final decoupled block inverses
+    dinv: jnp.ndarray         # (9, S_pcr) final decoupled block inverses
     att_b: jnp.ndarray        # (P_pcr, 2, 3, 3) attachment couplings B[j,s]
     sinv: jnp.ndarray = None  # (3*Sd, 3*Sd) dense tail inverse (None when
                               # the tail is empty)
+    coarse_ainv: jnp.ndarray = None  # optional cached cluster-coarse dense
+                              # inverse (solve._coarse_chain_fn): it shares
+                              # the factor's (active, free) invariants, and
+                              # rebuilding it per solve cost 52 ms of the
+                              # 60 ms warm solve at 309k DOF (measured) —
+                              # compute_tree_factor attaches it so ramp
+                              # drivers amortize it like the PCR factor
 
 
 def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
@@ -242,30 +252,6 @@ def build_tree_plan(schedule: TreeSchedule, k3: np.ndarray,
     )
 
 
-def _inv3(m):
-    """Batched 3x3 inverse via adjugate (matches model.invert_blocks)."""
-    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    det = jnp.where(det != 0, det, 1.0)
-    adj = jnp.stack([
-        jnp.stack([A, -(b * i - c * h), (b * f - c * e)], -1),
-        jnp.stack([B, (a * i - c * g), -(a * f - c * d)], -1),
-        jnp.stack([C, -(a * h - b * g), (a * e - b * d)], -1),
-    ], -2)
-    return adj / det[..., None, None]
-
-
-def _shift(x, k):
-    """y[i] = x[i+k] along axis 0, rolling (wrap contributions are always
-    multiplied by couplings that are zero across path boundaries)."""
-    return jnp.roll(x, -k, axis=0)
-
-
 HI = jax.lax.Precision.HIGHEST   # TPU einsum defaults to bf16 passes;
                                   # kept for the true-matvec dense tail
 
@@ -274,42 +260,134 @@ HI = jax.lax.Precision.HIGHEST   # TPU einsum defaults to bf16 passes;
 from .blocks import mm3 as _mm, mtv3 as _mtv3, mv3 as _mv3  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# component-plane block algebra
+#
+# blocks.py removed the einsum dot_generals but its DATA still lives in
+# (S,3,3) arrays, whose minor (3,3) dims XLA tiles to (8,128) registers —
+# measured on the PCR recurrence at 103k nodes: 38 ms in-program where the
+# same arithmetic on (S,) component planes costs ~3 ms. Here a 3x3 block
+# batch is a tuple of 9 (S,)/(S,K) planes in row-major component order
+# (00,01,02,10,...,22) and a 3-vector batch a tuple of 3 planes: every op
+# is plain elementwise VPU math on untiled 1-D buffers and every shift is
+# a 1-D roll. TreeFactor stores the stacked (steps, 9, S) form.
+# ---------------------------------------------------------------------------
+
+def _p_t(m):
+    """Plane-tuple transpose."""
+    return (m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8])
+
+
+def _p_sh(m, k):
+    """Plane-tuple shift: y[i] = x[i+k] (rolling, like _shift)."""
+    return tuple(jnp.roll(p, -k, axis=0) for p in m)
+
+
+def _p_mm(a, b):
+    """(tuple9, tuple9) -> tuple9 block product."""
+    return tuple(a[3 * i] * b[k] + a[3 * i + 1] * b[3 + k]
+                 + a[3 * i + 2] * b[6 + k]
+                 for i in range(3) for k in range(3))
+
+
+def _p_add(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _p_sub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def _p_neg(a):
+    return tuple(-x for x in a)
+
+
+def _p_inv(m):
+    """Plane-tuple 3x3 adjugate inverse (same math as _inv3)."""
+    a, b, c, d, e, f, g, h, i = m
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(det != 0, det, 1.0)
+    return (A / det, -(b * i - c * h) / det, (b * f - c * e) / det,
+            B / det, (a * i - c * g) / det, -(a * f - c * d) / det,
+            C / det, -(a * h - b * g) / det, (a * e - b * d) / det)
+
+
+def _p_bc(m, v):
+    """Coefficient plane broadcast against a possibly-(S,K) vector plane."""
+    return m[:, None] if v.ndim == 2 else m
+
+
+def _p_mv(m, v):
+    """tuple9 x tuple3 -> tuple3 (planes may be (S,) or (S,K))."""
+    return tuple(_p_bc(m[3 * i], v[0]) * v[0]
+                 + _p_bc(m[3 * i + 1], v[1]) * v[1]
+                 + _p_bc(m[3 * i + 2], v[2]) * v[2] for i in range(3))
+
+
+def _p_mtv(m, v):
+    """tuple9^T x tuple3 -> tuple3."""
+    return tuple(_p_bc(m[i], v[0]) * v[0]
+                 + _p_bc(m[3 + i], v[1]) * v[1]
+                 + _p_bc(m[6 + i], v[2]) * v[2] for i in range(3))
+
+
+def _p_vsh(v, k):
+    return tuple(jnp.roll(p, -k, axis=0) for p in v)
+
+
+def _split9(m):
+    """(S,3,3) -> tuple9 of (S,) planes (boundary conversion only)."""
+    return tuple(m[:, i, j] for i in range(3) for j in range(3))
+
+
 def _pcr_coeffs(D, B, steps):
     """PCR coefficient recurrence on a block tridiagonal with row i
-    couplings L_i = B[i]^T (to i-1) and R_i = B[i+1] (to i+1). Returns
-    (alphas, betas) stacked over rounds and the final block inverses."""
-    L = jnp.swapaxes(B, -1, -2)
-    R = _shift(B, 1)
+    couplings L_i = B[i]^T (to i-1) and R_i = B[i+1] (to i+1).
+
+    D, B: tuple9 of (S,) planes. Returns (alphas, betas) stacked over
+    rounds as (steps, 9, S) arrays and the final block inverses as a
+    tuple9."""
+    L = _p_t(B)
+    R = _p_sh(B, 1)
     alphas, betas = [], []
     s = 1
     for _ in range(steps):
-        dinv = _inv3(D)
-        a = _mm(L, _shift(dinv, -s))
-        b = _mm(R, _shift(dinv, s))
-        D = D - _mm(a, _shift(R, -s)) - _mm(b, _shift(L, s))
-        Ln = -_mm(a, _shift(L, -s))
-        Rn = -_mm(b, _shift(R, s))
-        alphas.append(a)
-        betas.append(b)
-        L, R = Ln, Rn
+        dinv = _p_inv(D)
+        a = _p_mm(L, _p_sh(dinv, -s))
+        b = _p_mm(R, _p_sh(dinv, s))
+        D = _p_sub(D, _p_add(_p_mm(a, _p_sh(R, -s)),
+                             _p_mm(b, _p_sh(L, s))))
+        L = _p_neg(_p_mm(a, _p_sh(L, -s)))
+        R = _p_neg(_p_mm(b, _p_sh(R, s)))
+        alphas.append(jnp.stack(a))
+        betas.append(jnp.stack(b))
         s *= 2
-    n = D.shape[0]
-    z = jnp.zeros((0, n, 3, 3), D.dtype)
+    n = D[0].shape[0]
+    z = jnp.zeros((0, 9, n), D[0].dtype)
     al = jnp.stack(alphas) if alphas else z
     be = jnp.stack(betas) if betas else z
-    return al, be, _inv3(D)
+    return al, be, _p_inv(D)
 
 
 def _pcr_apply(alphas, betas, dinv, r):
-    """x = T^{-1} r given PCR coefficients. r: (S, 3, ...) -> same."""
+    """x = T^{-1} r given plane PCR coefficients.
+
+    alphas/betas: (steps, 9, S); dinv: tuple9 (or (9, S) array slice);
+    r: tuple3 of (S,) or (S, K) planes -> same."""
     steps = alphas.shape[0]
     s = 1
-    mv = _mv3
-
     for k in range(steps):
-        r = r - mv(alphas[k], _shift(r, -s)) - mv(betas[k], _shift(r, s))
+        a = tuple(alphas[k, c] for c in range(9))
+        b = tuple(betas[k, c] for c in range(9))
+        r = _p_sub(r, _p_add(_p_mv(a, _p_vsh(r, -s)),
+                             _p_mv(b, _p_vsh(r, s))))
         s *= 2
-    return mv(dinv, r)
+    d = tuple(dinv[c] for c in range(9)) if not isinstance(dinv, tuple) \
+        else dinv
+    return _p_mv(d, r)
 
 
 def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, k_pad, fill_B):
@@ -321,35 +399,47 @@ def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, k_pad, fill_B):
     couplings between tail slots (static ``dense_*`` tables) + fill
     couplings produced by PCR paths whose BOTH junctions are tail slots.
     SPD by construction, <= tree_dense_tail blocks — one inverse per
-    factorization, one MXU matvec per apply."""
+    factorization, one MXU matvec per apply.
+
+    D_tail/dacc_tail: tuple9 of (Sd,) planes. fill_B: (P+1, 9) row-major
+    component rows. The system is assembled DIRECTLY in the flat
+    (3Sd, 3Sd) layout with per-component scatters: staging it as
+    (Sd, Sd, 3, 3) lets XLA tile the minor (3,3) dims (measured 29 ms of
+    the 81 ms factorization at 103k nodes; flat assembly is ~4 ms)."""
     meta = plan.meta
     S_tot = plan.n_slots
     t0 = meta.level_offsets[n_pcr_levels(meta)]
     Sd = S_tot - t0
-    dtype = D_tail.dtype
-    M = jnp.zeros((Sd, Sd, 3, 3), dtype)
-    ar = jnp.arange(Sd)
-    M = M.at[ar, ar].add(D_tail + dacc_tail)
-    ke = k_pad[plan.dense_eid]
-    M = M.at[plan.dense_i, plan.dense_j].add(ke)
-    M = M.at[plan.dense_j, plan.dense_i].add(jnp.swapaxes(ke, -1, -2))
+    dtype = D_tail[0].dtype
+    M = jnp.zeros((3 * Sd, 3 * Sd), dtype)
+    ar = jnp.arange(Sd, dtype=jnp.int32)
+    ke = k_pad[plan.dense_eid]                    # (Ed,3,3) — tiny
     p_pcr = meta.path_offsets[n_pcr_levels(meta)]
     if p_pcr:
         tgt = plan.att_tgt[:p_pcr]
         both = (plan.has_fill[:p_pcr]
                 & (tgt[:, 0] >= t0) & (tgt[:, 0] < S_tot)
                 & (tgt[:, 1] >= t0) & (tgt[:, 1] < S_tot))
-        fb = fill_B[:p_pcr] * both[:, None, None]
+        fb = (fill_B[:p_pcr].reshape(-1, 3, 3)
+              * both[:, None, None])
         ti = jnp.clip(tgt[:, 0] - t0, 0, Sd - 1)
         tj = jnp.clip(tgt[:, 1] - t0, 0, Sd - 1)
-        M = M.at[ti, tj].add(fb)
-        M = M.at[tj, ti].add(jnp.swapaxes(fb, -1, -2))
-    Md = jnp.transpose(M, (0, 2, 1, 3)).reshape(3 * Sd, 3 * Sd)
-    if Md.dtype == jnp.float64 and jax.default_backend() != "cpu":
+    for a in range(3):
+        for b in range(3):
+            M = M.at[3 * ar + a, 3 * ar + b].add(
+                D_tail[3 * a + b] + dacc_tail[3 * a + b])
+            M = M.at[3 * plan.dense_i + a,
+                     3 * plan.dense_j + b].add(ke[:, a, b])
+            M = M.at[3 * plan.dense_j + a,
+                     3 * plan.dense_i + b].add(ke[:, b, a])
+            if p_pcr:
+                M = M.at[3 * ti + a, 3 * tj + b].add(fb[:, a, b])
+                M = M.at[3 * tj + a, 3 * ti + b].add(fb[:, b, a])
+    if M.dtype == jnp.float64 and jax.default_backend() != "cpu":
         # TPU LuDecomposition is f32-only; an f32 inverse is fine for a
         # preconditioner factor (CG corrects the PC's rounding).
-        return jnp.linalg.inv(Md.astype(jnp.float32)).astype(Md.dtype)
-    return jnp.linalg.inv(Md)
+        return jnp.linalg.inv(M.astype(jnp.float32)).astype(M.dtype)
+    return jnp.linalg.inv(M)
 
 
 def _dense_tail_apply(factor: TreeFactor, r_tail):
@@ -378,8 +468,9 @@ class FastFactorData(NamedTuple):
     """
     chain_tree: jnp.ndarray   # (N,) bool — chain slot's element in forest
     jump_tree: jnp.ndarray    # (Jp,) bool
-    left_k3: jnp.ndarray      # (S,3,3) static left-edge element k3
-                              # (zero for KIND_FILL / KIND_NONE rows)
+    left_k3: jnp.ndarray      # (9,S) static left-edge element k3 as
+                              # row-major component planes (zero for
+                              # KIND_FILL / KIND_NONE rows)
     ja: jnp.ndarray           # (Jp,) int32 jump endpoint chain positions
     jb: jnp.ndarray           # (Jp,) int32 (sentinel N for padding rows)
     meta: FastMeta            # static flags
@@ -388,35 +479,46 @@ class FastFactorData(NamedTuple):
 def chain_tree_diag(plan: TreePlan, fast: FastFactorData, cplan,
                     active: jnp.ndarray, free_chain: jnp.ndarray,
                     reg) -> jnp.ndarray:
-    """(N,3,3) tree-PC diagonal in CHAIN order, scatter/gather-free up to
-    bool gathers and a 2J-row jump scatter. Rows >= n_slots (grips) and
-    anchored-pinned rows are identity."""
+    """(9, N) component planes of the tree-PC diagonal in CHAIN order,
+    scatter/gather-free up to bool gathers and a 2J-row jump scatter.
+    Rows >= n_slots (grips) and anchored-pinned rows are identity."""
     dtype = plan.k3.dtype
-    N = free_chain.shape[0]
-    eye = jnp.eye(3, dtype=dtype)
+    zero1 = jnp.zeros((1,), dtype)
     act_pad = jnp.concatenate([active.astype(bool),
                                jnp.zeros((1,), bool)])
-    m_c = (act_pad[cplan.chain_elem] & fast.chain_tree)
-    n = cplan.chain_n
-    nnT = n[:, :, None] * n[:, None, :]
-    # (kax-kbd) n n^T + kbd I — the same association as tree.element_k3
-    # so the fast factor tracks the generic one to fp roundoff
-    k3c = (nnT * (cplan.chain_kax - cplan.chain_kbd)[:, None, None]
-           + cplan.chain_kbd[:, None, None] * eye[None])
-    k3c = k3c * m_c[:, None, None]
-    # chain edge i connects positions i and i+1: both ends get its k3
-    D = k3c + jnp.concatenate([jnp.zeros((1, 3, 3), dtype), k3c[:-1]])
-    # jump edges (few thousand rows — the only scatter left)
-    m_j = (act_pad[cplan.jump_elem] & fast.jump_tree)
-    nj = cplan.jump_n
-    nnTj = nj[:, :, None] * nj[:, None, :]
-    k3j = (nnTj * (cplan.jump_kax - cplan.jump_kbd)[:, None, None]
-           + cplan.jump_kbd[:, None, None] * eye[None])
-    k3j = k3j * m_j[:, None, None]
-    D = D.at[fast.ja].add(k3j, mode="drop")
-    D = D.at[fast.jb].add(k3j, mode="drop")
-    D = D + reg * eye[None]
-    return jnp.where(free_chain[:, None, None], D, eye[None])
+    m_c = (act_pad[cplan.chain_elem] & fast.chain_tree).astype(dtype)
+    nc = [cplan.chain_n[:, k] for k in range(3)]
+    kd_c = (cplan.chain_kax - cplan.chain_kbd) * m_c
+    kb_c = cplan.chain_kbd * m_c
+    m_j = (act_pad[cplan.jump_elem] & fast.jump_tree).astype(dtype)
+    njp = [cplan.jump_n[:, k] for k in range(3)]
+    kd_j = (cplan.jump_kax - cplan.jump_kbd) * m_j
+    kb_j = cplan.jump_kbd * m_j
+    regp = jnp.asarray(reg, dtype)
+    planes = []
+    for i in range(3):
+        for j in range(3):
+            # (kax-kbd) n n^T + kbd I — same association as
+            # tree.element_k3 so the fast factor tracks the generic one
+            # to fp roundoff
+            k3c = nc[i] * nc[j] * kd_c
+            if i == j:
+                k3c = k3c + kb_c
+            # chain edge i connects positions i and i+1: both ends get it
+            p = k3c + jnp.concatenate([zero1, k3c[:-1]])
+            # jump edges (few thousand rows — the only scatter left)
+            k3j = njp[i] * njp[j] * kd_j
+            if i == j:
+                k3j = k3j + kb_j
+            p = p.at[fast.ja].add(k3j, mode="drop")
+            p = p.at[fast.jb].add(k3j, mode="drop")
+            if i == j:
+                p = p + regp
+                p = jnp.where(free_chain, p, 1.0)
+            else:
+                p = jnp.where(free_chain, p, 0.0)
+            planes.append(p)
+    return jnp.stack(planes)
 
 
 def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
@@ -425,16 +527,16 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
                      conn: jnp.ndarray) -> TreeFactor:
     """tree_factor without N/S-row f32 gathers or scatters (unified
     ordering only). Numerically identical to tree_factor — tested
-    elementwise against it."""
+    elementwise against it. All big-axis block algebra runs on (S,)
+    component planes (see the plane-algebra section above)."""
     meta = plan.meta
     k3 = plan.k3
     S_tot = plan.n_slots
     P_tot = plan.n_paths
     dtype = k3.dtype
-    eye = jnp.eye(3, dtype=dtype)
 
     D_g = chain_tree_diag(plan, fast, cplan, active, free_chain,
-                          reg)[:S_tot]
+                          reg)[:, :S_tot]                # (9, S)
 
     # left-edge element couplings: static k3 table * active * both-free
     act_pad = jnp.concatenate([active.astype(bool),
@@ -442,7 +544,7 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     la = act_pad[plan.left_elem]                         # (S,) bool
     fprev = jnp.concatenate([jnp.zeros((1,), bool), free_chain[:S_tot][:-1]])
     lmask = (la & free_chain[:S_tot] & fprev).astype(dtype)
-    B_elem = -fast.left_k3 * lmask[:, None, None]        # (S,3,3)
+    B_elem = tuple(-fast.left_k3[c] * lmask for c in range(9))
 
     # attachment couplings stay on the (small) path axis
     m_couple = (active & plan.tree_edge
@@ -451,62 +553,68 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     k_pad = jnp.concatenate(
         [-k3 * m_couple[:, None, None], jnp.zeros((1, 3, 3), dtype)])
 
-    fill_B = jnp.zeros((P_tot + 1, 3, 3), dtype)
-    dacc = jnp.zeros((S_tot + 1, 3, 3), dtype)
+    fill_B = jnp.zeros((P_tot + 1, 9), dtype)            # row-major comps
+    dacc = jnp.zeros((9, S_tot + 1), dtype)
 
     alphas, betas = [], []
     dinv_parts = []
     attb_parts = []
+    FLIP = (0, 3, 6, 1, 4, 7, 2, 5, 8)                   # transpose order
     L = n_pcr_levels(meta)
     for li in range(L):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
-        D_l = D_g[s0:s1] + dacc[s0:s1]
-        B_l = B_elem[s0:s1]
+        D_l = tuple(D_g[c, s0:s1] + dacc[c, s0:s1] for c in range(9))
+        B_l = tuple(p[s0:s1] for p in B_elem)
         if fast.meta.level_left_fill[li]:
             lf = plan.left_fill[s0:s1]
-            B_fill = fill_B[lf]
-            B_fill = jnp.where(plan.left_fill_flip[s0:s1, None, None],
-                               jnp.swapaxes(B_fill, -1, -2), B_fill)
-            B_l = B_l + B_fill
+            bf = fill_B[lf]                              # (S_l, 9) gather
+            flip = plan.left_fill_flip[s0:s1]
+            B_l = tuple(B_l[c] + jnp.where(flip, bf[:, FLIP[c]], bf[:, c])
+                        for c in range(9))
         al, be, dinv = _pcr_coeffs(D_l, B_l, meta.level_steps[li])
         alphas.append(al)
         betas.append(be)
-        dinv_parts.append(dinv)
+        dinv_parts.append(jnp.stack(dinv))
 
         fg = plan.first_gpos[p0:p1] - s0
         lg = plan.last_gpos[p0:p1] - s0
         ab = k_pad[plan.att_elem[p0:p1]] \
-            + fill_B[plan.att_fill[p0:p1]]
+            + fill_B[plan.att_fill[p0:p1]].reshape(-1, 2, 3, 3)
         ab = jnp.where(plan.att_flip[p0:p1, :, None, None],
                        jnp.swapaxes(ab, -1, -2), ab)
         attb_parts.append(ab)
 
+        # corner blocks of T^{-1}: one 6-column PCR solve (unit blocks at
+        # every first slot -> cols 0:3, every last slot -> cols 3:6)
         S_l = s1 - s0
-        rhs = jnp.zeros((S_l, 3, 6), dtype)
-        rhs = rhs.at[fg, :, 0:3].add(eye)
-        rhs = rhs.at[lg, :, 3:6].add(eye)
-        X = _pcr_apply(al, be, dinv, rhs)
-        Mff = X[fg, :, 0:3]
-        Mll = X[lg, :, 3:6]
-        Mfl = X[fg, :, 3:6]
+        rhs = tuple(jnp.zeros((S_l, 6), dtype)
+                    .at[fg, i].add(1.0).at[lg, 3 + i].add(1.0)
+                    for i in range(3))
+        X = _pcr_apply(al, be, dinv, rhs)                # tuple3 (S_l, 6)
+        Mff = jnp.stack([X[i][fg][:, 0:3] for i in range(3)], axis=1)
+        Mll = jnp.stack([X[i][lg][:, 3:6] for i in range(3)], axis=1)
+        Mfl = jnp.stack([X[i][fg][:, 3:6] for i in range(3)], axis=1)
         bl, br = ab[:, 0], ab[:, 1]
         dg_l = -_mm(_mm(bl, Mff), jnp.swapaxes(bl, -1, -2))
         dg_r = -_mm(_mm(br, Mll), jnp.swapaxes(br, -1, -2))
         tgt = plan.att_tgt[p0:p1]
-        dacc = dacc.at[tgt[:, 0]].add(dg_l)
-        dacc = dacc.at[tgt[:, 1]].add(dg_r)
+        for i in range(3):
+            for j in range(3):
+                dacc = dacc.at[3 * i + j, tgt[:, 0]].add(dg_l[:, i, j])
+                dacc = dacc.at[3 * i + j, tgt[:, 1]].add(dg_r[:, i, j])
         fb = -_mm(_mm(bl, Mfl), jnp.swapaxes(br, -1, -2))
         fb = fb * plan.has_fill[p0:p1, None, None]
-        fill_B = fill_B.at[jnp.arange(p0, p1)].set(fb)
+        fill_B = fill_B.at[jnp.arange(p0, p1)].set(fb.reshape(-1, 9))
 
-    dinv_all = (jnp.concatenate(dinv_parts) if dinv_parts
-                else jnp.zeros((0, 3, 3), dtype))
+    dinv_all = (jnp.concatenate(dinv_parts, axis=1) if dinv_parts
+                else jnp.zeros((9, 0), dtype))
     attb_all = (jnp.concatenate(attb_parts) if attb_parts
                 else jnp.zeros((0, 2, 3, 3), dtype))
     t0 = meta.level_offsets[L]
-    sinv = (_dense_tail_factor(plan, D_g[t0:S_tot], dacc[t0:S_tot],
-                               k_pad, fill_B)
+    sinv = (_dense_tail_factor(
+                plan, tuple(D_g[c, t0:S_tot] for c in range(9)),
+                tuple(dacc[c, t0:S_tot] for c in range(9)), k_pad, fill_B)
             if S_tot > t0 else None)
     return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
                       dinv=dinv_all, att_b=attb_all, sinv=sinv)
@@ -517,32 +625,51 @@ def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
     """tree_apply on CHAIN-ordered (N,3) residuals under the unified
     ordering: slots occupy positions [0, n_slots) so the per-iteration
     N-row gathers of the node-space version become slices."""
+    rp = tuple(r_chain[:, i] for i in range(3))
+    up = tree_apply_chain_planes(plan, factor, rp)
+    u_slots = jnp.stack(up, axis=1)
+    S_tot = plan.n_slots
+    return jnp.concatenate([u_slots, r_chain[S_tot:]], axis=0)
+
+
+def tree_apply_chain_planes(plan: TreePlan, factor: TreeFactor, rp
+                            ) -> tuple:
+    """Plane form: rp is a tuple of 3 (>=S_tot,) chain-ordered component
+    planes; returns the tuple of 3 (S_tot,) solution planes (callers
+    append the pass-through grip tail themselves)."""
     meta = plan.meta
     L = n_pcr_levels(meta)
     S_tot = plan.n_slots
     t0 = meta.level_offsets[L]
-    racc = jnp.concatenate(
-        [r_chain[:S_tot], jnp.zeros((1, 3), r_chain.dtype)])
-    mv, mtv = _mv3, _mtv3
+    dtype = rp[0].dtype
+    zero1 = jnp.zeros((1,), dtype)
+    racc = tuple(jnp.concatenate([p[:S_tot], zero1]) for p in rp)
 
     ys = []
     for li in range(L):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
         y = _pcr_apply(factor.alphas[li], factor.betas[li],
-                       factor.dinv[s0:s1], racc[s0:s1])
+                       factor.dinv[:, s0:s1],
+                       tuple(p[s0:s1] for p in racc))
         ys.append(y)
         ab = factor.att_b[p0:p1]
         fg = plan.first_gpos[p0:p1] - s0
         lg = plan.last_gpos[p0:p1] - s0
         tgt = plan.att_tgt[p0:p1]
-        racc = racc.at[tgt[:, 0]].add(-mv(ab[:, 0], y[fg]))
-        racc = racc.at[tgt[:, 1]].add(-mv(ab[:, 1], y[lg]))
+        y_f = jnp.stack([y[i][fg] for i in range(3)], axis=1)   # (P,3)
+        y_l = jnp.stack([y[i][lg] for i in range(3)], axis=1)
+        v0 = _mv3(ab[:, 0], y_f)
+        v1 = _mv3(ab[:, 1], y_l)
+        racc = tuple(racc[i].at[tgt[:, 0]].add(-v0[:, i])
+                     .at[tgt[:, 1]].add(-v1[:, i]) for i in range(3))
 
-    u_all = jnp.zeros((S_tot + 1, 3), r_chain.dtype)
+    u_all = tuple(jnp.zeros((S_tot + 1,), dtype) for _ in range(3))
     if S_tot > t0:
-        u_all = u_all.at[t0:S_tot].set(
-            _dense_tail_apply(factor, racc[t0:S_tot]))
+        r_tail = jnp.stack([p[t0:S_tot] for p in racc], axis=1)
+        u_tail = _dense_tail_apply(factor, r_tail)
+        u_all = tuple(u_all[i].at[t0:S_tot].set(u_tail[:, i])
+                      for i in range(3))
     for li in range(L - 1, -1, -1):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
@@ -550,16 +677,18 @@ def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
         fg = plan.first_gpos[p0:p1] - s0
         lg = plan.last_gpos[p0:p1] - s0
         tgt = plan.att_tgt[p0:p1]
-        uj0 = u_all[tgt[:, 0]]
-        uj1 = u_all[tgt[:, 1]]
-        z = jnp.zeros((s1 - s0, 3), r_chain.dtype)
-        z = z.at[fg].add(mtv(ab[:, 0], uj0))
-        z = z.at[lg].add(mtv(ab[:, 1], uj1))
-        u = ys[li] - _pcr_apply(factor.alphas[li], factor.betas[li],
-                                factor.dinv[s0:s1], z)
-        u_all = u_all.at[s0:s1].set(u)
-
-    return jnp.concatenate([u_all[:S_tot], r_chain[S_tot:]], axis=0)
+        uj0 = jnp.stack([u_all[i][tgt[:, 0]] for i in range(3)], axis=1)
+        uj1 = jnp.stack([u_all[i][tgt[:, 1]] for i in range(3)], axis=1)
+        z0 = _mtv3(ab[:, 0], uj0)
+        z1 = _mtv3(ab[:, 1], uj1)
+        z = tuple(jnp.zeros((s1 - s0,), dtype)
+                  .at[fg].add(z0[:, i]).at[lg].add(z1[:, i])
+                  for i in range(3))
+        corr = _pcr_apply(factor.alphas[li], factor.betas[li],
+                          factor.dinv[:, s0:s1], z)
+        u_all = tuple(u_all[i].at[s0:s1].set(ys[li][i] - corr[i])
+                      for i in range(3))
+    return tuple(u_all[i][:S_tot] for i in range(3))
 
 
 def tree_factor(plan: TreePlan, active: jnp.ndarray,
@@ -611,10 +740,11 @@ def tree_factor(plan: TreePlan, active: jnp.ndarray,
         B_fill = jnp.where(plan.left_fill_flip[s0:s1, None, None],
                            jnp.swapaxes(B_fill, -1, -2), B_fill)
         B_l = k_pad[plan.left_elem[s0:s1]] + B_fill
-        al, be, dinv = _pcr_coeffs(D_l, B_l, meta.level_steps[li])
+        al, be, dinv = _pcr_coeffs(_split9(D_l), _split9(B_l),
+                                   meta.level_steps[li])
         alphas.append(al)
         betas.append(be)
-        dinv_parts.append(dinv)
+        dinv_parts.append(jnp.stack(dinv))
 
         # attachment couplings B[j, s]
         fg = plan.first_gpos[p0:p1] - s0
@@ -629,14 +759,13 @@ def tree_factor(plan: TreePlan, active: jnp.ndarray,
         # every first slot -> cols 0:3, every last slot -> cols 3:6; paths
         # are decoupled so they don't interact)
         S_l = s1 - s0
-        rhs = jnp.zeros((S_l, 3, 6), dtype)
-        rhs = rhs.at[fg, :, 0:3].add(eye)
-        rhs = rhs.at[lg, :, 3:6].add(eye)
-        X = _pcr_apply(al, be, dinv, rhs)          # (S,3,6)
-        Mff = X[fg, :, 0:3]
-        Mlf = X[lg, :, 0:3]
-        Mll = X[lg, :, 3:6]
-        Mfl = X[fg, :, 3:6]
+        rhs = tuple(jnp.zeros((S_l, 6), dtype)
+                    .at[fg, i].add(1.0).at[lg, 3 + i].add(1.0)
+                    for i in range(3))
+        X = _pcr_apply(al, be, dinv, rhs)          # tuple3 (S_l, 6)
+        Mff = jnp.stack([X[i][fg][:, 0:3] for i in range(3)], axis=1)
+        Mll = jnp.stack([X[i][lg][:, 3:6] for i in range(3)], axis=1)
+        Mfl = jnp.stack([X[i][fg][:, 3:6] for i in range(3)], axis=1)
         # Schur corrections dG_j = -B[j,s] M_ss B[j,s]^T
         bl, br = ab[:, 0], ab[:, 1]
         dg_l = -_mm(_mm(bl, Mff), jnp.swapaxes(bl, -1, -2))
@@ -649,13 +778,15 @@ def tree_factor(plan: TreePlan, active: jnp.ndarray,
         fb = fb * plan.has_fill[p0:p1, None, None]
         fill_B = fill_B.at[jnp.arange(p0, p1)].set(fb)
 
-    dinv_all = (jnp.concatenate(dinv_parts) if dinv_parts
-                else jnp.zeros((0, 3, 3), dtype))
+    dinv_all = (jnp.concatenate(dinv_parts, axis=1) if dinv_parts
+                else jnp.zeros((9, 0), dtype))
     attb_all = (jnp.concatenate(attb_parts) if attb_parts
                 else jnp.zeros((0, 2, 3, 3), dtype))
     t0 = meta.level_offsets[L]
-    sinv = (_dense_tail_factor(plan, D_g[t0:S_tot], dacc[t0:S_tot],
-                               k_pad, fill_B)
+    P_tot = plan.n_paths
+    sinv = (_dense_tail_factor(plan, _split9(D_g[t0:S_tot]),
+                               _split9(dacc[t0:S_tot]),
+                               k_pad, fill_B.reshape(P_tot + 1, 9))
             if S_tot > t0 else None)
     return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
                       dinv=dinv_all, att_b=attb_all, sinv=sinv)
@@ -664,49 +795,10 @@ def tree_factor(plan: TreePlan, active: jnp.ndarray,
 def tree_apply(plan: TreePlan, factor: TreeFactor, r: jnp.ndarray
                ) -> jnp.ndarray:
     """z = K_tree^{-1} r for (N,3) r; pinned rows pass through."""
-    meta = plan.meta
-    L = n_pcr_levels(meta)
-    S_tot = plan.n_slots
-    t0 = meta.level_offsets[L]
-    racc = jnp.concatenate(
-        [r[plan.slots], jnp.zeros((1, 3), r.dtype)])     # + sentinel
-    mv, mtv = _mv3, _mtv3
-
-    ys = []
-    for li in range(L):
-        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
-        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
-        y = _pcr_apply(factor.alphas[li], factor.betas[li],
-                       factor.dinv[s0:s1], racc[s0:s1])
-        ys.append(y)
-        ab = factor.att_b[p0:p1]
-        fg = plan.first_gpos[p0:p1] - s0
-        lg = plan.last_gpos[p0:p1] - s0
-        tgt = plan.att_tgt[p0:p1]
-        racc = racc.at[tgt[:, 0]].add(-mv(ab[:, 0], y[fg]))
-        racc = racc.at[tgt[:, 1]].add(-mv(ab[:, 1], y[lg]))
-
-    u_all = jnp.zeros((S_tot + 1, 3), r.dtype)
-    if S_tot > t0:
-        u_all = u_all.at[t0:S_tot].set(
-            _dense_tail_apply(factor, racc[t0:S_tot]))
-    for li in range(L - 1, -1, -1):
-        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
-        p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
-        ab = factor.att_b[p0:p1]
-        fg = plan.first_gpos[p0:p1] - s0
-        lg = plan.last_gpos[p0:p1] - s0
-        tgt = plan.att_tgt[p0:p1]
-        uj0 = u_all[tgt[:, 0]]
-        uj1 = u_all[tgt[:, 1]]
-        z = jnp.zeros((s1 - s0, 3), r.dtype)
-        z = z.at[fg].add(mtv(ab[:, 0], uj0))
-        z = z.at[lg].add(mtv(ab[:, 1], uj1))
-        u = ys[li] - _pcr_apply(factor.alphas[li], factor.betas[li],
-                                factor.dinv[s0:s1], z)
-        u_all = u_all.at[s0:s1].set(u)
-
-    return r.at[plan.slots].set(u_all[:S_tot])
+    r_s = r[plan.slots]                                  # (S,3) gather
+    up = tree_apply_chain_planes(plan, factor,
+                                 tuple(r_s[:, i] for i in range(3)))
+    return r.at[plan.slots].set(jnp.stack(up, axis=1))
 
 
 # ---------------------------------------------------------------------------
