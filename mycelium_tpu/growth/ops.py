@@ -55,11 +55,15 @@ def translocate(st: GrowthState, cfg: GrowthConfig) -> GrowthState:
     L = st.length()
     valid = (st.prev >= 0) & (st.state != EMPTY)
     p = jnp.maximum(st.prev, 0)
-    lp = L[p]
+    # one packed gather instead of two: per-row gathers cost ~4-25 ns/row
+    # REGARDLESS of row width, so (N,2) rows halve the dominant cost of
+    # this op at the 2^21-slot xlarge preset (measured 121 ms/step)
+    lp_sub = jnp.stack([L, st.sub], axis=1)[p]
+    lp = lp_sub[:, 0]
     denom = (L + lp) / 2.0
     ok = valid & (denom > 0)
     denom_safe = jnp.where(denom > 0, denom, 1.0)
-    sub_p = st.sub[p]
+    sub_p = lp_sub[:, 1]
     delta = cfg.dt * cfg.diffusion * (sub_p - st.sub) / denom_safe
     new_s = st.sub + delta
     new_p = sub_p - delta
@@ -95,9 +99,21 @@ def grow(st: GrowthState, cfg: GrowthConfig, key) -> GrowthState:
     hyp_valid = (hyp_ids < st.n_hyp) & (tip_slot >= 0)
     t = jnp.maximum(tip_slot, 0)
 
+    # ONE packed f32 gather for all per-tip fields (row gathers cost
+    # ~4-25 ns/row regardless of width; six separate gathers at 2^19
+    # hyphae cost ~80 ms/step) + a 1-byte state gather
+    packed = jnp.concatenate(
+        [st.start, st.end, st.theta[:, None], st.phi[:, None],
+         st.sub[:, None]], axis=1)[t]                  # (H, 9)
+    tip_start = packed[:, 0:3]
+    tip_end = packed[:, 3:6]
+    tip_theta = packed[:, 6]
+    tip_phi = packed[:, 7]
+    tip_sub = packed[:, 8]
+
     tip_state = jnp.where(hyp_valid, st.state[t], EMPTY)
-    L_tip = jnp.linalg.norm(st.end[t] - st.start[t], axis=1)
-    avail = st.sub[t] * L_tip
+    L_tip = jnp.linalg.norm(tip_end - tip_start, axis=1)
+    avail = tip_sub * L_tip
     cost = cfg.c_g * cfg.h0
     can_grow = (tip_state == ACTIVE) & (avail >= cost)
 
@@ -127,43 +143,91 @@ def grow(st: GrowthState, cfg: GrowthConfig, key) -> GrowthState:
     state = st.state.at[jnp.where(valid_ext, t, N)].set(PASSIVE, mode="drop")
 
     # new directions (one perturbation stream for extensions, one for kids)
-    th_e, ph_e = perturb_direction(k_ext, st.theta[t], st.phi[t], cfg)
-    th_c, ph_c = perturb_direction(k_child, st.theta[t], st.phi[t], cfg)
-    tip_end = st.end[t]
+    th_e, ph_e = perturb_direction(k_ext, tip_theta, tip_phi, cfg)
+    th_c, ph_c = perturb_direction(k_child, tip_theta, tip_phi, cfg)
     dir_e = direction_from_angles(th_e, ph_e, cfg.three_d)
     dir_c = direction_from_angles(th_c, ph_c, cfg.three_d)
     end_e = tip_end + dir_e * cfg.h0
     end_c = tip_end + dir_c * cfg.h0
     child_sub = 0.5 * tip_sub_new  # both children get half the remaining I
 
-    def scatter(arr, slots, ok, vals):
-        idx = jnp.where(ok, slots, N)
-        return arr.at[idx].set(vals, mode="drop")
+    # New-segment writes: ext slots are the CONTIGUOUS range
+    # [n_seg, n_seg + n_ext) and child slots the one after it, so instead
+    # of ~14 H-row scatters into the (N,) state arrays (~180 ms/step at
+    # the xlarge preset) we COMPACT each batch's values by rank with two
+    # scatters into small (H, k) staging buffers and commit them with
+    # contiguous dynamic_update_slice windows. Arrays are padded by H
+    # rows so a window starting at n_seg <= N never clamps; rows past
+    # each batch's count carry the init fill values (state EMPTY,
+    # prev/hypha -1, floats 0) and rows sliced off past N reproduce the
+    # old mode="drop" overflow behavior.
+    fdt = st.sub.dtype
 
-    start = scatter(st.start, ext_slot, valid_ext, tip_end)
-    start = scatter(start, child_slot, valid_child, tip_end)
-    end = scatter(st.end, ext_slot, valid_ext, end_e)
-    end = scatter(end, child_slot, valid_child, end_c)
-    theta = scatter(st.theta, ext_slot, valid_ext, th_e)
-    theta = scatter(theta, child_slot, valid_child, th_c)
-    phi = scatter(st.phi, ext_slot, valid_ext, ph_e)
-    phi = scatter(phi, child_slot, valid_child, ph_c)
-    sub = scatter(sub, ext_slot, valid_ext, child_sub)
-    sub = scatter(sub, child_slot, valid_child, child_sub)
-    state = scatter(state, ext_slot, valid_ext,
-                    jnp.full((H,), ACTIVE, st.state.dtype))
-    state = scatter(state, child_slot, valid_child,
-                    jnp.full((H,), ACTIVE, st.state.dtype))
-    prev = scatter(st.prev, ext_slot, valid_ext, tip_slot)
-    prev = scatter(prev, child_slot, valid_child,
-                   jnp.full((H,), -1, jnp.int32))   # children start hyphae
-    hypha = scatter(st.hypha, ext_slot, valid_ext, hyp_ids)
-    hypha = scatter(hypha, child_slot, valid_child, child_hyp)
+    def compact(ok, rank, cols_f, cols_i):
+        cidx = jnp.where(ok, rank.astype(jnp.int32), H)
+        cf = jnp.zeros((H, len(cols_f)), fdt).at[cidx].set(
+            jnp.stack(cols_f, axis=1), mode="drop")
+        ci = jnp.full((H, len(cols_i)), -1, jnp.int32).at[cidx].set(
+            jnp.stack(cols_i, axis=1), mode="drop")
+        return cf, ci
 
-    tip = st.tip.at[jnp.where(valid_ext, hyp_ids, H)].set(
-        jnp.where(valid_ext, ext_slot, -1), mode="drop")
-    tip = tip.at[jnp.where(valid_child, child_hyp, H)].set(
-        jnp.where(valid_child, child_slot, -1), mode="drop")
+    act_col = jnp.full((H,), ACTIVE, jnp.int32)
+    ext_f, ext_i = compact(
+        valid_ext, ext_off,
+        [tip_end[:, 0], tip_end[:, 1], tip_end[:, 2],
+         end_e[:, 0], end_e[:, 1], end_e[:, 2], th_e, ph_e, child_sub],
+        [tip_slot, hyp_ids, act_col])
+    ch_f, ch_i = compact(
+        valid_child, child_off,
+        [tip_end[:, 0], tip_end[:, 1], tip_end[:, 2],
+         end_c[:, 0], end_c[:, 1], end_c[:, 2], th_c, ph_c, child_sub],
+        [jnp.full((H,), -1, jnp.int32), child_hyp, act_col])
+
+    # a rank row whose writer was INVALID (e.g. child_hyp >= H) keeps the
+    # -1 fill -> EMPTY, so capacity-dropped writers leave their slot a
+    # gap exactly like the old mode="drop" scatters did
+    ext_state = jnp.where(ext_i[:, 2] == ACTIVE, ACTIVE, EMPTY).astype(
+        st.state.dtype)
+    ch_state = jnp.where(ch_i[:, 2] == ACTIVE, ACTIVE, EMPTY).astype(
+        st.state.dtype)
+
+    def window(arr, fill, pos, vals):
+        pad = jnp.full((H,) + arr.shape[1:], fill, arr.dtype)
+        zero = jnp.zeros((), pos.dtype)
+        out = jax.lax.dynamic_update_slice(
+            jnp.concatenate([arr, pad]),
+            vals.astype(arr.dtype),
+            (pos,) + (zero,) * (arr.ndim - 1))
+        return out[:N]
+
+    pos_e = st.n_seg
+    pos_c = st.n_seg + n_ext
+    start = window(window(st.start, 0.0, pos_e, ext_f[:, 0:3]),
+                   0.0, pos_c, ch_f[:, 0:3])
+    end = window(window(st.end, 0.0, pos_e, ext_f[:, 3:6]),
+                 0.0, pos_c, ch_f[:, 3:6])
+    theta = window(window(st.theta, 0.0, pos_e, ext_f[:, 6]),
+                   0.0, pos_c, ch_f[:, 6])
+    phi = window(window(st.phi, 0.0, pos_e, ext_f[:, 7]),
+                 0.0, pos_c, ch_f[:, 7])
+    sub = window(window(sub, 0.0, pos_e, ext_f[:, 8]),
+                 0.0, pos_c, ch_f[:, 8])
+    prev = window(window(st.prev, -1, pos_e, ext_i[:, 0]),
+                  -1, pos_c, ch_i[:, 0])
+    hypha = window(window(st.hypha, -1, pos_e, ext_i[:, 1]),
+                   -1, pos_c, ch_i[:, 1])
+    state = window(window(state, EMPTY, pos_e, ext_state),
+                   EMPTY, pos_c, ch_state)
+
+    # tip table: the ext update is indexed by hypha id itself -> a where;
+    # child hyphae are the contiguous range [n_hyp, n_hyp + n_child)
+    tip = jnp.where(valid_ext & (ext_slot < N), ext_slot, st.tip)
+    ch_tip = jnp.full((H,), -1, jnp.int32).at[
+        jnp.where(valid_child, child_off.astype(jnp.int32), H)].set(
+        child_slot, mode="drop")
+    tip = jax.lax.dynamic_update_slice(
+        jnp.concatenate([tip, jnp.full((H,), -1, jnp.int32)]),
+        ch_tip, (st.n_hyp,))[:H]
 
     return st._replace(
         start=start, end=end, theta=theta, phi=phi, sub=sub, state=state,
@@ -353,13 +417,17 @@ def enforce_walls(st: GrowthState, env: EnvArrays, cfg: GrowthConfig,
                                       end) for w in range(W)], axis=1)
         pen = jnp.any(inside, axis=1) & hyp_valid
         w_first = jnp.argmax(inside, axis=1)          # first penetrated wall
-        c = env.wall_center[w_first]
-        half = env.wall_size[w_first] / 2.0
+        # one-hot contractions over the tiny wall table instead of H-row
+        # gathers (3 gathers x 3 sweeps cost ~80 ms/step at 2^19 hyphae)
+        ohw = jax.nn.one_hot(w_first, W, dtype=dtype)           # (H, W)
+        c = ohw @ env.wall_center
+        half = (ohw @ env.wall_size) / 2.0
         delta = end - c
         overlap = jnp.abs(delta) - half
         face = jnp.argmax(overlap, axis=1)
-        normal = jax.nn.one_hot(face, 3, dtype=dtype) * \
-            jnp.sign(jnp.take_along_axis(delta, face[:, None], axis=1))
+        ohf = jax.nn.one_hot(face, 3, dtype=dtype)              # (H, 3)
+        normal = ohf * jnp.sign(
+            jnp.sum(delta * ohf, axis=1, keepdims=True))
         d = end - start
         dn = jnp.linalg.norm(d, axis=1, keepdims=True)
         rnd = jax.random.normal(k_dir, (H, 3), dtype)
