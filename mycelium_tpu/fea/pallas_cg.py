@@ -360,26 +360,11 @@ def coarse_cluster_blocks(nb: int, cfg) -> int:
     return -(-(3 * n_basis * nb) // cap)
 
 
-def _coarse_inverse(model, plan, active, free, cfg, nb, kblk: int = 1):
-    """Galerkin coarse operator for the two-level preconditioner.
-
-    Clusters = ``kblk`` consecutive 128-position chain blocks (``kblk``
-    rows of the plane layout; coarse_cluster_blocks picks the smallest
-    kblk that keeps the dense dimension under cfg.coarse_max_dim — an
-    uncapped inverse crashes the TPU worker past ~4.7k dim and would be
-    23k-dim at 1e6 nodes). The coarse space is piecewise LINEAR along the
-    chain per cluster per component — a constant and an in-chain ramp
-    function — which captures the dominant stretching modes of long hyphae
-    far better than constants alone. Coarse DOF index = f*3*NBC + k*NBC +
-    cluster with f in {const, ramp}, NBC = ceil(nb/kblk); assembled from
-    the free-masked operator P·K·P + reg·P, symmetrically normalized, and
-    densely inverted (3·NBC is ~400 at 1e5 DOF — trivial).
-
-    Clusters are ALWAYS defined by chain position (plan.inv_perm): every
-    caller — node-space, chain-space and sharded — restricts per-cluster
-    in chain order with the same kblk, and a different position array here
-    would desynchronize the coarse operator from their cluster
-    restriction."""
+def _coarse_matrix_scatter(model, plan, active, free, cfg, nb,
+                           kblk: int = 1):
+    """Element-scatter assembly of the coarse Galerkin matrix (the
+    original formulation; kept as the oracle for _coarse_matrix_chain —
+    its (E·(6b)²) scatter-add costs ~45 ms at 103k nodes)."""
     from .elements import element_stiffness_batch
     f32 = jnp.float32
     conn = model.conn
@@ -428,7 +413,150 @@ def _coarse_inverse(model, plan, active, free, cfg, nb, kblk: int = 1):
             ib = fb * nc3 + base
             a = a.at[(ia * nc + ib).reshape(-1)].add(
                 jnp.repeat(wv[:, None], 3, 1).reshape(-1))
-    a = a.reshape(nc, nc)
+    return a.reshape(nc, nc)
+
+
+def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
+                         kblk: int = 1):
+    """Chain-banded assembly of the coarse Galerkin matrix.
+
+    Clusters are CONTIGUOUS runs of chain positions, so a chain edge
+    (position i -- i+1) couples cluster cl(i) to itself or to cl(i)+1:
+    per (basis a, basis b, comp, comp') pair the whole chain's
+    contribution reduces to cluster reshape-sums plus one strided slice
+    for the boundary slots — banded writes of O(nbc) instead of the
+    element scatter's E·(6b)² updates (14.8M at 103k nodes, ~45 ms; this
+    form is ~1 ms). Jump edges (few thousand) keep a small scatter.
+    Numerically the same matrix up to summation order
+    (tests/test_pallas_solver.py compares against
+    _coarse_matrix_scatter)."""
+    f32 = jnp.float32
+    width = kblk * BLOCK
+    nbc = -(-nb // kblk)
+    nc3 = 3 * nbc
+    n_basis = 2 if cfg.coarse_basis == "linear" else 1
+    nc = n_basis * nc3
+    n = model.n_nodes
+    npad = nbc * width
+    car = jnp.arange(nbc, dtype=jnp.int32)
+
+    def padp(x):
+        return jnp.pad(x.astype(f32), (0, npad - n))
+
+    act_pad = jnp.concatenate([active.astype(bool),
+                               jnp.zeros((1,), bool)])
+    f_pos = padp(free[plan.perm].astype(f32))
+    ramp_pos = _ramp_weight(jnp.arange(npad, dtype=jnp.int32) % width,
+                            width)
+    # endpoint weights per basis: a = position i, b = position i+1
+    wa = [f_pos] + ([f_pos * ramp_pos] if n_basis == 2 else [])
+    wb = [jnp.concatenate([w[1:], jnp.zeros((1,), f32)]) for w in wa]
+
+    # chain-edge k3 component planes (full operator: no tree mask)
+    m_c = padp(act_pad[plan.chain_elem].astype(f32))
+    ncmp = [padp(plan.chain_n[:, k]) for k in range(3)]
+    kd = padp(plan.chain_kax - plan.chain_kbd) * m_c
+    kb = padp(plan.chain_kbd) * m_c
+
+    inb = ((jnp.arange(npad, dtype=jnp.int32) % width) != width - 1
+           ).astype(f32)
+    bslice = slice(width - 1, None, width)
+    A = jnp.zeros((nc, nc), f32)
+    for kc in range(3):
+        for kc2 in range(3):
+            k3p = ncmp[kc] * ncmp[kc2] * kd
+            if kc == kc2:
+                k3p = k3p + kb
+            for fa in range(n_basis):
+                for fb in range(n_basis):
+                    v00 = wa[fa] * wa[fb] * k3p
+                    v11 = wb[fa] * wb[fb] * k3p
+                    v01 = -wa[fa] * wb[fb] * k3p
+                    v10 = -wb[fa] * wa[fb] * k3p
+                    d = v00.reshape(nbc, width).sum(1)
+                    # p1p1 belongs to cluster of position i+1
+                    d = d + jnp.concatenate(
+                        [jnp.zeros((1,), f32), v11[:-1]]
+                    ).reshape(nbc, width).sum(1)
+                    d = d + ((v01 + v10) * inb).reshape(nbc,
+                                                        width).sum(1)
+                    rows = fa * nc3 + kc * nbc + car
+                    cols = fb * nc3 + kc2 * nbc + car
+                    A = A.at[rows, cols].add(d)
+                    A = A.at[rows[:-1], cols[1:]].add(v01[bslice][:-1])
+                    A = A.at[rows[1:], cols[:-1]].add(v10[bslice][:-1])
+
+    # jump edges: small scatter (positions ja/jb, sentinel N -> dropped)
+    jp = plan.ja.shape[0]
+    if jp:
+        m_j = act_pad[plan.jump_elem].astype(f32)
+        ja = jnp.minimum(plan.ja, npad - 1)
+        jb = jnp.minimum(plan.jb, npad - 1)
+        jok = (plan.ja < n) & (plan.jb < n)
+        m_j = m_j * jok.astype(f32)
+        jn = [plan.jump_n[:, k] for k in range(3)]
+        jkd = (plan.jump_kax - plan.jump_kbd) * m_j
+        jkb = plan.jump_kbd * m_j
+        cl_a = (ja // width).astype(jnp.int32)
+        cl_b = (jb // width).astype(jnp.int32)
+        wja = [f_pos[ja]] + ([f_pos[ja] * ramp_pos[ja]]
+                             if n_basis == 2 else [])
+        wjb = [f_pos[jb]] + ([f_pos[jb] * ramp_pos[jb]]
+                             if n_basis == 2 else [])
+        for kc in range(3):
+            for kc2 in range(3):
+                k3j = jn[kc] * jn[kc2] * jkd
+                if kc == kc2:
+                    k3j = k3j + jkb
+                for fa in range(n_basis):
+                    for fb in range(n_basis):
+                        ra = fa * nc3 + kc * nbc
+                        rb = fb * nc3 + kc2 * nbc
+                        A = A.at[ra + cl_a, rb + cl_a].add(
+                            wja[fa] * wja[fb] * k3j)
+                        A = A.at[ra + cl_b, rb + cl_b].add(
+                            wjb[fa] * wjb[fb] * k3j)
+                        A = A.at[ra + cl_a, rb + cl_b].add(
+                            -wja[fa] * wjb[fb] * k3j)
+                        A = A.at[ra + cl_b, rb + cl_a].add(
+                            -wjb[fa] * wja[fb] * k3j)
+
+    # reg·P per position: 2x2 basis block [1, r; r, r^2] per comp. NO
+    # (I-P) identity term (see _coarse_matrix_scatter).
+    dreg = np.float32(cfg.reg) * f_pos
+    for fa in range(n_basis):
+        for fb in range(n_basis):
+            wv = (dreg * (ramp_pos ** (fa + fb))).reshape(
+                nbc, width).sum(1)
+            for kc in range(3):
+                A = A.at[fa * nc3 + kc * nbc + car,
+                         fb * nc3 + kc * nbc + car].add(wv)
+    return A
+
+
+def _coarse_inverse(model, plan, active, free, cfg, nb, kblk: int = 1):
+    """Galerkin coarse operator for the two-level preconditioner.
+
+    Clusters = ``kblk`` consecutive 128-position chain blocks (``kblk``
+    rows of the plane layout; coarse_cluster_blocks picks the smallest
+    kblk that keeps the dense dimension under cfg.coarse_max_dim — an
+    uncapped inverse crashes the TPU worker past ~4.7k dim and would be
+    23k-dim at 1e6 nodes). The coarse space is piecewise LINEAR along the
+    chain per cluster per component — a constant and an in-chain ramp
+    function — which captures the dominant stretching modes of long hyphae
+    far better than constants alone. Coarse DOF index = f*3*NBC + k*NBC +
+    cluster with f in {const, ramp}, NBC = ceil(nb/kblk); assembled from
+    the free-masked operator P·K·P + reg·P, symmetrically normalized, and
+    densely inverted (3·NBC is ~400 at 1e5 DOF — trivial).
+
+    Clusters are ALWAYS defined by chain position (plan.inv_perm): every
+    caller — node-space, chain-space and sharded — restricts per-cluster
+    in chain order with the same kblk, and a different position array here
+    would desynchronize the coarse operator from their cluster
+    restriction."""
+    f32 = jnp.float32
+    a = _coarse_matrix_chain(model, plan, active, free, cfg, nb, kblk)
+    nc = a.shape[0]
     d = jnp.diagonal(a)
     s = jnp.where(d > 0, jax.lax.rsqrt(jnp.maximum(d, 1e-30)), 1.0)
     an = s[:, None] * a * s[None, :] \

@@ -163,53 +163,57 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         # Tips are bucketed onto the same grid; per neighbor offset the
         # SEGMENT grid (geometry + ids) is rolled against the static tip
         # table. The inner loop scans the candidate axis in chunks with a
-        # carried fused min/argmin, computing only squared distances
-        # (materializing per-candidate projections would cost 4x the
-        # traffic); the winning candidate's projection is recomputed once
-        # at the end.
+        # carried fused min/argmin, computing only squared distances.
+        # All geometry lives in COMPONENT PLANES — separate (g,g,GC)
+        # arrays per coordinate — so every temporary in the distance
+        # formula is a scalar (g,g,GT,K) broadcast: the packed (...,3)
+        # form's minor vector dim forced padded layouts/relayouts that
+        # cost ~230 ms/step of the xlarge anastomosis (measured; the
+        # same pathology as the tree-PC block algebra, fea/tree_jax.py).
         GC = gz * C
         GT = gz * Ct
-        seg_grid = sgeo_pad[seg_tbl].reshape(g, g, GC, 6)
+        seg_flat = sgeo_pad[seg_tbl]                          # (cells, C, 6)
+        segp = [seg_flat[..., k].reshape(g, g, GC) for k in range(6)]
         idx_grid = seg_tbl.reshape(g, g, GC)
         tip_cell = jnp.where(tip_ok, _cell_id(tip_end, cfg), m_cells)
         tip_tbl, tip_dropped = _bucket(t, tip_cell, m_cells, Ct,  # seg slots
                                        sentinel=N)
         end_pad = jnp.concatenate([st.end, jnp.zeros((1, 3), dtype)],
                                   axis=0)
-        tpos = end_pad[jnp.minimum(tip_tbl, N)].reshape(g, g, GT, 3)
+        tip_flat = end_pad[jnp.minimum(tip_tbl, N)]           # (cells,Ct,3)
+        tpp = [tip_flat[..., k].reshape(g, g, GT)[:, :, :, None]
+               for k in range(3)]                             # (g,g,GT,1)
         tslot = tip_tbl.reshape(g, g, GT)
-
-        def dist2(p, a, b):
-            ap = p - a
-            ab = b - a
-            ab2 = jnp.sum(ab * ab, axis=-1)
-            tt = jnp.sum(ap * ab, axis=-1) / jnp.where(ab2 < 1e-12, 1.0,
-                                                       ab2)
-            tt = jnp.where(ab2 < 1e-12, 0.0, jnp.clip(tt, 0.0, 1.0))
-            r = ap - tt[..., None] * ab
-            return jnp.sum(r * r, axis=-1)
 
         best_d2 = jnp.full((g, g, GT), big)
         best_off = jnp.zeros((g, g, GT), jnp.int32)
         best_k = jnp.zeros((g, g, GT), jnp.int32)
         # candidate axis processed in chunks of K inside a scan: the
         # working set per step is (g,g,GT,K) ~ a few tens of MB instead of
-        # (g,g,GT,GC,3) temporaries in the 100s of MB, which the fusion
+        # (g,g,GT,GC) temporaries in the 100s of MB, which the fusion
         # can keep on-chip
         K = min(16, GC)
         while GC % K:
             K -= 1
+        eps_len = jnp.asarray(1e-12, dtype)
         for oi, (dx, dy) in enumerate(offs):
-            nb = jnp.roll(seg_grid, (-dx, -dy), axis=(0, 1))
+            nb = [jnp.roll(p, (-dx, -dy), axis=(0, 1)) for p in segp]
             nbid = jnp.roll(idx_grid, (-dx, -dy), axis=(0, 1))
 
             def chunk_body(carry, c, nb=nb, nbid=nbid, oi=oi):
                 b_d2, b_off, b_k = carry
-                sl = jax.lax.dynamic_slice_in_dim(nb, c * K, K, axis=2)
+                sl = [jax.lax.dynamic_slice_in_dim(p, c * K, K, axis=2)
+                      [:, :, None, :] for p in nb]            # (g,g,1,K)
                 ids = jax.lax.dynamic_slice_in_dim(nbid, c * K, K, axis=2)
-                d2 = dist2(tpos[:, :, :, None, :],
-                           sl[:, :, None, :, 0:3],
-                           sl[:, :, None, :, 3:6])            # (g,g,GT,K)
+                ab = [sl[3 + k] - sl[k] for k in range(3)]
+                ap = [tpp[k] - sl[k] for k in range(3)]
+                ab2 = ab[0] * ab[0] + ab[1] * ab[1] + ab[2] * ab[2]
+                apab = ap[0] * ab[0] + ap[1] * ab[1] + ap[2] * ab[2]
+                tt = apab / jnp.where(ab2 < eps_len, 1.0, ab2)
+                tt = jnp.where(ab2 < eps_len, 0.0,
+                               jnp.clip(tt, 0.0, 1.0))
+                d2 = sum((ap[k] - tt * ab[k]) ** 2
+                         for k in range(3))                   # (g,g,GT,K)
                 invalid = (ids[:, :, None, :] == tslot[..., None]) \
                     | (ids[:, :, None, :] >= N)
                 d2 = jnp.where(invalid, big, d2)
@@ -233,6 +237,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         cj = (gi[None, :, None] + dys[best_off]) % g
         win_id = idx_grid[ci, cj, best_k]                     # (g,g,GT)
         geo = sgeo_pad[jnp.minimum(win_id, N)]
+        tpos = tip_flat.reshape(g, g, GT, 3)
         _, proj = point_segment_distance(tpos, geo[..., 0:3], geo[..., 3:6])
         flat_slot = tslot.reshape(-1)
         flat_d = jnp.sqrt(best_d2).reshape(-1)

@@ -185,3 +185,33 @@ def test_hybrid_big_kernel_matches_xla_tree():
         scale = max(float(jnp.abs(rx.x).max()), 1e-30)
         err = float(jnp.abs(rp.x - rx.x).max()) / scale
         assert err < 5e-4, (frac, err)
+
+
+@pytest.mark.parametrize("kblk,basis,frac", [(1, "linear", 0.0),
+                                             (2, "linear", 0.15),
+                                             (1, "const", 0.1)])
+def test_coarse_matrix_chain_matches_scatter(growth_mesh, kblk, basis,
+                                             frac):
+    """The chain-banded coarse Galerkin assembly must equal the original
+    element-scatter assembly (same matrix up to summation roundoff) —
+    including under fracture, extra pins, multi-block clusters and both
+    basis choices."""
+    from mycelium_tpu.fea.pallas_cg import (_coarse_matrix_chain,
+                                            _coarse_matrix_scatter,
+                                            plan_nb)
+    coords, conn = growth_mesh
+    cfg = FeaConfig(dtype="float32", operator="chain", use_pallas=False,
+                    coarse_basis=basis)
+    model = build_model(coords, conn, cfg)
+    rng = np.random.default_rng(7)
+    active = jnp.asarray(rng.random(model.n_elems) > frac)
+    free = jnp.asarray(np.asarray(model.free_nodes)
+                       & (rng.random(model.n_nodes) > 0.03))
+    nb = plan_nb(model.n_nodes)
+    a_sc = np.asarray(_coarse_matrix_scatter(model, model.chain, active,
+                                             free, cfg, nb, kblk))
+    a_ch = np.asarray(_coarse_matrix_chain(model, model.chain, active,
+                                           free, cfg, nb, kblk))
+    scale = max(np.abs(a_sc).max(), 1e-30)
+    np.testing.assert_allclose(a_ch, a_sc, rtol=2e-5,
+                               atol=2e-5 * scale)
