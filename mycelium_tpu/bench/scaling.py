@@ -77,22 +77,21 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6, quiet=False):
             # Dispatches are async and dependent (each factorization reads
             # the previous solution), so the chain still times true
             # back-to-back cold solves.
-            from ..fea.solve import compute_tree_factor
-            jit_fac = jax.jit(compute_tree_factor, static_argnums=(2,))
-
             @jax.jit
-            def one_solve(model, act, anchored, x0, fac):
+            def one_solve(model, act, anchored, x0):
+                # factorization INSIDE the program (tree_factor_val=None
+                # -> computed in-trace): one dispatch per true cold solve
+                # instead of two (~10 ms host overhead each through the
+                # relay)
                 res = solve_displacement(model, act, dy, -dy, x0, cfg,
-                                         anchored, tree_factor_val=fac)
+                                         anchored)
                 return res.x, res.iters
 
             def chained_host(k):
                 xc, it = x0, None
                 for _ in range(k):
                     act = active & jnp.isfinite(xc[0, 0])
-                    fac = jit_fac(model, act, cfg, anchored)
-                    xc, it = one_solve(model, act, anchored, xc * 1e-30,
-                                       fac)
+                    xc, it = one_solve(model, act, anchored, xc * 1e-30)
                 jax.block_until_ready(xc)
                 return xc, it
 

@@ -270,14 +270,21 @@ def chain_apply(plan: ChainPlan, chain_act, jump_act, u_perm):
 
     N = u_perm.shape[0]
     W = u_perm.shape[1]
-    # ---- chain part: shifts only ----
-    d = u_perm - _shift_up(u_perm)               # u[i] - u[i+1]
-    nd = jnp.sum(plan.chain_n * d, axis=1)
-    f = (plan.chain_kax * nd)[:, None] * plan.chain_n \
-        + plan.chain_kbd[:, None] * (d - nd[:, None] * plan.chain_n)
-    f = f * chain_act[:, None]
+    # ---- chain part: shifts only, on COORDINATE COMPONENT PLANES ----
+    # (N,3) temporaries carry a minor dim of 3 that XLA tiles into
+    # (8,128) registers; at 990k nodes the relayouts cost more than the
+    # arithmetic (same pathology as the tree-PC block algebra,
+    # tree_jax.py). Each plane op is an untiled (N,) vector pass.
+    up = [u_perm[:, k] for k in range(W)]
+    cn = [plan.chain_n[:, k] for k in range(W)]
+    d = [p - _shift_up(p) for p in up]            # u[i] - u[i+1]
+    nd = sum(cn[k] * d[k] for k in range(W))
+    kax_nd = plan.chain_kax * nd
+    f = [(kax_nd * cn[k]
+          + plan.chain_kbd * (d[k] - nd * cn[k])) * chain_act
+         for k in range(W)]
     # slot i contributes +f to node i, -f to node i+1
-    out = f - _shift_down(f)
+    out = jnp.stack([f[k] - _shift_down(f[k]) for k in range(W)], axis=1)
 
     if plan.a_blk is None:
         # ---- jump part, huge-mesh variant: J-row gather/scatter ----
