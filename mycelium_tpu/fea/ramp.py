@@ -203,6 +203,27 @@ def run_ramp(coords, conn, cfg: FeaConfig,
                          solve_secs=np.asarray(solve_secs),
                          iters=np.asarray(iters_rec, dtype=np.int64)))
 
+    # device-side grip reachability for fracture refreshes: the host BFS
+    # costs ~1 s per fracture event at 990k nodes (fetch + scipy label
+    # pass); the tree-accelerated device sweep is the same mask the scan
+    # driver uses (scan==loop golden equality pins them to each other)
+    if model.tree is not None:
+        from .tree_jax import tree_anchored
+        jit_anch = jax.jit(lambda m, act: tree_anchored(m.tree, m, act))
+    else:
+        jit_anch = None
+
+    # record fetches are PIPELINED: the (u, stress) pulls of step k-1
+    # (~16 MB, ~0.7 s through the ~25 MB/s relay) run while step k
+    # executes on device — only the control-flow values (converged,
+    # active mask, force) block on the current step
+    pending = None
+
+    def _flush(p):
+        u_d, stress_d = p
+        stress_rec.append(np.asarray(stress_d))
+        disp_rec.append(np.asarray(u_d).reshape(-1))
+
     for step in range(start_step, cfg.n_steps):
         dy_top, dy_bot = _step_factors(cfg, step)
         # warm start: scale the previous solution by the ramp ratio (the
@@ -216,34 +237,42 @@ def run_ramp(coords, conn, cfg: FeaConfig,
         u, stress, active_new, total_force, iters, resnorm, converged = \
             step_jit(active, x0, jnp.asarray(dy_top, dtype),
                      jnp.asarray(dy_bot, dtype), anchored, fac)
-        u.block_until_ready()
-        solve_secs.append(time.time() - ts)
+        if pending is not None:
+            _flush(pending)        # overlaps the dispatched solve above
+            pending = None
         _check_converged(converged, step, resnorm)
+        solve_secs.append(time.time() - ts)
 
-        stress_rec.append(np.asarray(stress))
-        active_rec.append(np.asarray(active_new))
-        disp_rec.append(np.asarray(u).reshape(-1))
+        active_new_np = np.asarray(active_new)
+        active_rec.append(active_new_np)
         fd_rec.append([dy_top - dy_bot, float(total_force)])
         iters_rec.append(int(iters))
+        pending = (u, stress)
         if verbose:
             print(f"step {step + 1}/{cfg.n_steps} dy={dy_top:.5f} "
                   f"iters={int(iters)} res={float(resnorm):.3e} "
-                  f"active={int(np.asarray(active_new).sum())}")
+                  f"active={int(active_new_np.sum())}")
 
-        active_new_np = np.asarray(active_new)
         if not np.array_equal(active_new_np, np.asarray(active)):
             # fracture changed the topology: refresh grip reachability
             # and the tree-PC factorization
-            anchored = jnp.asarray(
-                anchored_mask_host(conn_np, active_new_np, grip_np))
+            if jit_anch is not None:
+                anchored = jit_anch(model, active_new)
+            else:
+                anchored = jnp.asarray(
+                    anchored_mask_host(conn_np, active_new_np, grip_np))
             if use_fac:
                 fac = jit_fac(model, active_new, cfg, anchored)
         u_prev, active, prev_factor = u, active_new, factor
         if checkpoint_path is not None and checkpoint_every > 0 \
                 and (step + 1 - start_step) % checkpoint_every == 0:
+            _flush(pending)
+            pending = None
             _save_checkpoint(step + 1)
         if int(active_new_np.sum()) == 0:
             break  # early stop on full fracture (fea_solver.py:293-295)
+    if pending is not None:
+        _flush(pending)
 
     return RampResult(
         stress_record=np.stack(stress_rec),
