@@ -22,7 +22,13 @@ deliberate and documented:
   the same contract the reference holds between its Python and C++ sims,
   SURVEY.md §2.5.15). The loop exits once the cuboid's remaining E falls
   below an epsilon floor instead of exactly 0 (E decays geometrically and
-  would otherwise never reach 0 in exact arithmetic).
+  would otherwise never reach 0 in exact arithmetic). The deviation is
+  bounded: a segment the floor skips would have received
+  theta <= dt*mu*floor*s ~ 1e-12·s, i.e. <= 1e-12 relative per segment.
+  Both paths are anchored to a floor-FREE numpy transcription of the
+  reference drain in tests/test_growth_ops.py
+  (test_uptake_both_paths_match_reference_oracle,
+  test_uptake_floor_deviation_is_bounded).
 """
 
 from __future__ import annotations

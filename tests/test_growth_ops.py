@@ -141,6 +141,63 @@ def test_uptake_matches_sequential_drain():
                                atol=2e-18)
 
 
+@pytest.mark.parametrize("e0", [2e-6, 1e-10, 3e-14])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_uptake_both_paths_match_reference_oracle(seed, e0):
+    """Anchor BOTH in-repo uptake implementations (the serial while_loop
+    and the run-parallel drain) to the floor-free numpy transcription of
+    the reference (mycelium_sim_2D.py:315-338, `uptake_oracle` above) —
+    not merely to each other. Random states exercise every clamp regime:
+    saturated segments (s == m_cap), near-cap segments, zeros, and E
+    budgets from plentiful down to exhaustion-scale."""
+    from mycelium_tpu.growth.ops import uptake_loop
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    rng = np.random.default_rng(seed)
+    n = 24
+    subs = rng.uniform(0.0, cfg.m_cap, n)
+    subs[rng.uniform(size=n) < 0.2] = cfg.m_cap       # exact saturation
+    subs[rng.uniform(size=n) < 0.1] = 0.0
+    st, ea = build_chain(cfg, subs)
+    st = st._replace(env_e=jnp.asarray([e0], st.sub.dtype))
+    expect, e_exp = uptake_oracle(subs, np.ones(n, bool), e0, cfg,
+                                  cfg.substrate_mu)
+    for fn in (uptake_loop, uptake):
+        out = fn(st, ea, cfg)
+        np.testing.assert_allclose(np.asarray(out.sub[:n]), expect,
+                                   rtol=1e-11, atol=1e-28)
+        np.testing.assert_allclose(float(out.env_e[0]), e_exp, rtol=1e-9,
+                                   atol=2e-18)
+
+
+def test_uptake_floor_deviation_is_bounded():
+    """The ONE documented deviation from the reference: both uptake paths
+    stop once E <= UPTAKE_E_FLOOR (1e-18 mol) while the reference drains
+    until exactly E <= 0 — which never happens in exact arithmetic (E
+    decays geometrically). Drive E through the floor mid-drain and check
+    the tail segments' deficit vs the floor-free reference oracle stays
+    below the analytic bound theta <= dt*mu*floor*s (~1e-12 relative)."""
+    from mycelium_tpu.growth.ops import UPTAKE_E_FLOOR, uptake_loop
+    cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
+                       h0_per_point=1, inoculum_nx=1, inoculum_ny=1)
+    # decay factor per segment: 1 - dt*mu*s = 0.01  ->  E falls 100x per
+    # segment; E0 = 1e-16 crosses the 1e-18 floor after two segments, so
+    # the reference keeps draining where our loops have stopped
+    subs = [9.9e-7] * 6
+    e0 = 1e-16
+    st, ea = build_chain(cfg, subs)
+    st = st._replace(env_e=jnp.asarray([e0], st.sub.dtype))
+    expect, _ = uptake_oracle(subs, np.ones(len(subs), bool), e0, cfg,
+                              cfg.substrate_mu)
+    assert np.any(expect > np.asarray(subs))  # the oracle did drain
+    bound = cfg.dt * cfg.substrate_mu * UPTAKE_E_FLOOR  # max relative theta
+    for fn in (uptake_loop, uptake):
+        out = fn(st, ea, cfg)
+        got = np.asarray(out.sub[:len(subs)])
+        rel = np.abs(got - expect) / expect
+        assert np.all(rel <= bound), rel
+
+
 def test_uptake_order_dependence_is_slot_order():
     """First slots drain E first — the documented deterministic order."""
     cfg = GrowthConfig(max_segments=64, max_hyphae=16, dtype="float64",
