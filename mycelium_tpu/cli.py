@@ -145,7 +145,21 @@ def cmd_fea(args) -> str:
         trace_ctx = _trace(trace_dir)
         trace_ctx.__enter__()
     try:
-        if args.scan:
+        if getattr(args, "sharded", None) is not None:
+            # every solve domain-decomposed over the (possibly
+            # multi-process) device mesh — the mpirun -np N role
+            from .fea.ramp import run_ramp_sharded
+            from .fea.shard import default_mesh
+            n_dev = None if args.sharded == -1 else args.sharded
+            ckpt_every = getattr(args, "fea_checkpoint_every", 0)
+            ckpt_path = os.path.join(results_dir, "fea_checkpoint.npz") \
+                if ckpt_every else None
+            res = run_ramp_sharded(
+                coords, conn, cfg, default_mesh(n_dev),
+                verbose=args.verbose, checkpoint_path=ckpt_path,
+                checkpoint_every=ckpt_every,
+                resume_from=getattr(args, "fea_resume", None))
+        elif args.scan:
             # one XLA program for the whole ramp (no per-step host sync);
             # records are cut at the reference's early-stop point afterwards
             from .fea import run_ramp_scan
@@ -283,6 +297,13 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--fea-steps", type=int, default=None)
         g.add_argument("--scan", action="store_true",
                        help="run the whole ramp as one device program")
+        g.add_argument("--sharded", type=int, nargs="?", const=-1,
+                       default=None, metavar="N",
+                       help="domain-decompose every solve over a device "
+                            "mesh of N devices (default: all devices — "
+                            "the global set under --distributed); the "
+                            "reference's mpirun -np N fea_petsc_parallel "
+                            "role")
         g.add_argument("--grip", type=float, default=None)
         g.add_argument("--disp-max", type=float, default=None)
         g.add_argument("--f64", action="store_true")
@@ -341,6 +362,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "f64", False):
+        import jax
+        jax.config.update("jax_enable_x64", True)  # before any computation
     if getattr(args, "distributed", False):
         from .utils.dist import initialize_distributed
         initialize_distributed()   # must precede the first computation

@@ -225,6 +225,8 @@ def run_ramp(coords, conn, cfg: FeaConfig,
         disp_rec.append(np.asarray(u_d).reshape(-1))
 
     for step in range(start_step, cfg.n_steps):
+        if step > 0 and int(np.asarray(active).sum()) == 0:
+            break   # resumed past full fracture: nothing left to solve
         dy_top, dy_bot = _step_factors(cfg, step)
         # warm start: scale the previous solution by the ramp ratio (the
         # response is linear between fracture events)
@@ -386,60 +388,196 @@ def run_ramp_scan(coords, conn, cfg: FeaConfig,
 
 def run_ramp_sharded(coords, conn, cfg: FeaConfig, mesh,
                      model: Optional[FeaModel] = None,
-                     verbose: bool = False) -> RampResult:
+                     verbose: bool = False,
+                     checkpoint_path: Optional[str] = None,
+                     checkpoint_every: int = 0,
+                     resume_from: Optional[str] = None) -> RampResult:
     """The full pull test with every solve domain-decomposed over a device
     mesh — the end-to-end equivalent of the reference's MPI binary
     (mpirun -np 4 fea_petsc_parallel, SURVEY.md §3.4). Records match the
-    single-chip driver to solver tolerance (asserted in tests)."""
+    single-chip driver to solver tolerance (asserted in tests).
+
+    Production feature parity with ``run_ramp``: the tree-PC factorization
+    is computed once and reused across steps whose active mask did not
+    change; fracture events refresh grip reachability device-side
+    (tree_anchored — the host BFS costs ~1 s/event at 1e6 nodes); the
+    (u, stress) record fetches of step k-1 overlap step k's solve; and the
+    checkpoint/resume flags match the single-chip driver.
+
+    The mesh may span MULTIPLE PROCESSES (a jax.distributed cluster over
+    the global device set — the reference's mpirun model): every process
+    runs the same driver, record fetches go through a cross-process
+    all-gather, and file writes (checkpoints here, CSVs at the CLI) are
+    coordinator-only — the reference's every-rank-writes bug
+    (fea_petsc_parallel.cpp:487-570) fixed by construction.
+    """
     from .shard import sharded_cg_solver
+    from .solve import compute_tree_factor
     t0 = time.time()
     if model is None:
         model = build_model(coords, conn, cfg)
     dtype = model.coords.dtype
     solver = sharded_cg_solver(model, cfg, mesh)
 
+    multiproc = jax.process_count() > 1
+
+    def fetch(x):
+        """Device->host for a (possibly cross-process) global array."""
+        if multiproc:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+
     conn_np = np.asarray(model.conn)
     grip_np = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))
-    anchored = jnp.asarray(anchored_mask_host(
-        conn_np, np.ones(model.n_elems, bool), grip_np))
 
-    active = jnp.ones((model.n_elems,), dtype=bool)
-    u_prev = jnp.zeros((model.n_nodes, 3), dtype=dtype)
+    # multi-process: everything fed to the solver must be a process-local
+    # host value (replicated), so state stays numpy there; single-process
+    # keeps device arrays to avoid host round-trips
+    def as_state(x, np_dtype=None):
+        if multiproc:
+            return np.asarray(x, np_dtype) if np_dtype else np.asarray(x)
+        return jnp.asarray(x) if np_dtype is None \
+            else jnp.asarray(x, np_dtype)
+
+    start_step = 0
+    active = as_state(np.ones((model.n_elems,), bool))
+    u_prev = as_state(np.zeros((model.n_nodes, 3)), dtype)
     prev_factor = 0.0
     stress_rec, active_rec, disp_rec, fd_rec = [], [], [], []
     solve_secs, iters_rec = [], []
+    if resume_from is not None:
+        from ..io.checkpoint import load_ramp_state
+        start_step, active_np_in, u_prev_np, recs = \
+            load_ramp_state(resume_from)
+        active = as_state(active_np_in)
+        u_prev = as_state(u_prev_np, dtype)
+        prev_factor = (start_step - 1) / (cfg.n_steps - 1) \
+            if start_step > 0 else 0.0
+        stress_rec = list(recs["stress"])
+        active_rec = list(recs["active"])
+        disp_rec = list(recs["disp"])
+        fd_rec = [list(r) for r in recs["fd"]]
+        solve_secs = list(recs["solve_secs"])
+        iters_rec = [int(i) for i in recs["iters"]]
 
-    for step in range(cfg.n_steps):
+    # device-side grip reachability (matches run_ramp / the scan driver)
+    if model.tree is not None:
+        from .tree_jax import tree_anchored
+        jit_anch = jax.jit(lambda m, act: tree_anchored(m.tree, m, act))
+        anchored = as_state(np.asarray(jit_anch(model, jnp.asarray(active))))
+    else:
+        jit_anch = None
+        anchored = as_state(anchored_mask_host(
+            conn_np, np.asarray(active), grip_np))
+
+    # tree-PC factor reuse across unchanged-mask steps: computed on the
+    # local default device (replicated input to the sharded solve; in
+    # multi-process runs every rank computes the identical factor, the
+    # redundant-PC half of the PETSc pattern)
+    use_fac = (getattr(model, "tree_fast", None) is not None
+               and cfg.operator == "chain" and cfg.precond == "tree")
+    jit_fac = jax.jit(compute_tree_factor, static_argnums=(2,))
+
+    def make_factor(act, anch):
+        if not use_fac:
+            return None
+        fac = jit_fac(model, act, cfg, anch)
+        # multi-process jit requires replicated inputs be process-local
+        # host values (each rank computed the identical factor)
+        return jax.device_get(fac) if multiproc else fac
+
+    fac = make_factor(active, anchored)
+
+    def _save_checkpoint(next_step):
+        from ..io.checkpoint import save_ramp_state   # coordinator-guarded
+        save_ramp_state(
+            checkpoint_path, next_step, np.asarray(active),
+            np.asarray(u_prev),
+            records=dict(stress=np.stack(stress_rec),
+                         active=np.stack(active_rec),
+                         disp=np.stack(disp_rec),
+                         fd=np.asarray(fd_rec, dtype=np.float64),
+                         solve_secs=np.asarray(solve_secs),
+                         iters=np.asarray(iters_rec, dtype=np.int64)))
+
+    # record fetches PIPELINED like run_ramp: step k-1's (u, stress) pull
+    # overlaps step k's dispatched solve. Multi-process runs instead pull
+    # the sharded solution once per step through the cross-process
+    # all-gather (a collective, inherently synchronous) and do ALL
+    # post-processing on process-local arrays — the reference's parallel
+    # binary makes the same redundant-postprocessing choice
+    # (fea_petsc_parallel.cpp:439-460), minus its every-rank-writes bug.
+    pending = None
+
+    def _flush(p):
+        u_f, stress_f = p
+        disp_rec.append(np.asarray(u_f).reshape(-1))
+        stress_rec.append(np.asarray(stress_f))
+
+    active_np = np.asarray(active)
+    for step in range(start_step, cfg.n_steps):
+        if step > 0 and int(active_np.sum()) == 0:
+            break   # resumed past full fracture: nothing left to solve
         dy_top, dy_bot = _step_factors(cfg, step)
         factor = step / (cfg.n_steps - 1)
         if cfg.warm_start and prev_factor > 0:
             x0 = u_prev * (factor / prev_factor)
         else:
-            x0 = jnp.zeros_like(u_prev)
+            x0 = jnp.zeros_like(u_prev) if not multiproc \
+                else np.zeros_like(u_prev)
         ts = time.time()
         res = solver(active, jnp.asarray(dy_top, dtype),
-                     jnp.asarray(dy_bot, dtype), x0, anchored)
+                     jnp.asarray(dy_bot, dtype), x0, anchored, fac)
+        if multiproc:
+            x_step = fetch(res.x)                  # full (N,3) numpy
+            x_post = jnp.asarray(x_step)           # local device copy
+        else:
+            x_step = x_post = res.x
         stress, active_new, total_force = jit_post_solve(
-            model, cfg, res.x, active)
-        solve_secs.append(time.time() - ts)
+            model, cfg, x_post, active)
+        if pending is not None:
+            _flush(pending)        # overlaps the dispatched solve above
+            pending = None
         _check_converged(res.converged, step, res.resnorm)
-
-        stress_rec.append(np.asarray(stress))
-        active_rec.append(np.asarray(active_new))
-        disp_rec.append(np.asarray(res.x).reshape(-1))
-        fd_rec.append([dy_top - dy_bot, float(total_force)])
-        iters_rec.append(int(res.iters))
-        if verbose:
-            print(f"step {step + 1}: iters {int(res.iters)} "
-                  f"active {int(np.asarray(active_new).sum())}")
+        solve_secs.append(time.time() - ts)
 
         active_new_np = np.asarray(active_new)
-        if not np.array_equal(active_new_np, np.asarray(active)):
-            anchored = jnp.asarray(
-                anchored_mask_host(conn_np, active_new_np, grip_np))
-        u_prev, active, prev_factor = res.x, active_new, factor
+        active_rec.append(active_new_np)
+        fd_rec.append([dy_top - dy_bot, float(total_force)])
+        iters_rec.append(int(res.iters))
+        pending = (x_step, stress)
+        if verbose:
+            print(f"step {step + 1}: iters {int(res.iters)} "
+                  f"active {int(active_new_np.sum())}")
+
+        if not np.array_equal(active_new_np, active_np):
+            # fracture changed the topology: refresh grip reachability
+            # and the tree-PC factorization
+            if jit_anch is not None:
+                anchored = jit_anch(model, active_new)
+                if multiproc:
+                    anchored = np.asarray(anchored)
+            else:
+                anchored = jnp.asarray(
+                    anchored_mask_host(conn_np, active_new_np, grip_np))
+            fac = make_factor(active_new, anchored)
+        # multi-process: everything fed back into the solver must be a
+        # process-local host value (replicated input), not a committed
+        # local device array
+        u_prev = x_step if multiproc else res.x
+        active = active_new_np if multiproc else active_new
+        active_np, prev_factor = active_new_np, factor
+        if checkpoint_path is not None and checkpoint_every > 0 \
+                and (step + 1 - start_step) % checkpoint_every == 0:
+            _flush(pending)
+            pending = None
+            _save_checkpoint(step + 1)
         if int(active_new_np.sum()) == 0:
             break
+    if pending is not None:
+        _flush(pending)
 
     return RampResult(
         stress_record=np.stack(stress_rec),

@@ -136,6 +136,34 @@ def _coarse_preconditioner(model: FeaModel, active, cfg: FeaConfig,
     return pc
 
 
+def coarse_chain_apply(ainv, free_p, r, n: int, nbc: int, width: int,
+                       rampw, use_ramp: bool):
+    """One cluster-Galerkin coarse correction on a CHAIN-ORDERED (N,3)
+    residual: restriction is a reshape-sum over 128·kblk-position clusters,
+    prolongation a broadcast (zero gathers). Shared by the single-chip
+    chain solver (via ``_coarse_chain_fn``) and the sharded solver's
+    replicated PC (shard.py). ``free_p`` is the (N,) free mask in chain
+    order as the residual dtype; ``rampw`` the (nbc*width,) in-cluster
+    ramp weights (ignored unless ``use_ramp``)."""
+    dtype = r.dtype
+    rf = r * free_p[:, None]
+    rpad = jnp.pad(rf, ((0, nbc * width - n), (0, 0)))
+    rcl = rpad.reshape(nbc, width, 3)
+    rc0 = jnp.sum(rcl, axis=1)                         # (nbc, 3)
+    # dof order: fb*3nbc + comp*nbc + cluster
+    parts = [rc0.T.reshape(-1)]
+    if use_ramp:
+        rw = rampw.reshape(nbc, width, 1)
+        parts.append(jnp.sum(rcl * rw, axis=1).T.reshape(-1))
+    zc = ainv.astype(dtype) @ jnp.concatenate(parts)
+    zc0 = zc[:3 * nbc].reshape(3, nbc).T               # (nbc, 3)
+    zn = jnp.repeat(zc0[:, None, :], width, axis=1)    # (nbc, width, 3)
+    if use_ramp:
+        zc1 = zc[3 * nbc:6 * nbc].reshape(3, nbc).T
+        zn = zn + zc1[:, None, :] * rampw.reshape(nbc, width, 1)
+    return zn.reshape(-1, 3)[:n] * free_p[:, None]
+
+
 def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
                      free_nodes=None, ainv=None) -> Callable:
     """Cluster Galerkin coarse correction operating on CHAIN-PERMUTED
@@ -163,22 +191,8 @@ def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
     free_p = free[plan.perm].astype(dtype)                 # chain order
 
     def cc(r):                                             # r: (N,3) chain
-        rf = r * free_p[:, None]
-        rpad = jnp.pad(rf, ((0, nbc * width - n), (0, 0)))
-        rcl = rpad.reshape(nbc, width, 3)
-        rc0 = jnp.sum(rcl, axis=1)                         # (nbc, 3)
-        # dof order: fb*3nbc + comp*nbc + cluster
-        parts = [rc0.T.reshape(-1)]
-        if use_ramp:
-            rw = rampw.reshape(nbc, width, 1)
-            parts.append(jnp.sum(rcl * rw, axis=1).T.reshape(-1))
-        zc = ainv.astype(dtype) @ jnp.concatenate(parts)
-        zc0 = zc[:3 * nbc].reshape(3, nbc).T               # (nbc, 3)
-        zn = jnp.repeat(zc0[:, None, :], width, axis=1)    # (nbc, width, 3)
-        if use_ramp:
-            zc1 = zc[3 * nbc:6 * nbc].reshape(3, nbc).T
-            zn = zn + zc1[:, None, :] * rampw.reshape(nbc, width, 1)
-        return zn.reshape(-1, 3)[:n] * free_p[:, None]
+        return coarse_chain_apply(ainv, free_p, r, n, nbc, width, rampw,
+                                  use_ramp)
 
     return cc
 

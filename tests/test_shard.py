@@ -140,6 +140,82 @@ def test_sharded_coarse_preconditioner(growth_mesh, basis, cap):
         5, int(0.2 * int(ref.iters))), (int(tl.iters), int(ref.iters))
 
 
+def test_sharded_tree_pc_matches_single_chip(growth_mesh):
+    """precond='tree' under shard_map (redundant forest-elimination PC,
+    distributed operator — the PCREDUNDANT pattern): same solution AND the
+    same iteration path as the single-chip tree-PC chain solver, with and
+    without a precomputed reusable factor (compute_tree_factor)."""
+    coords, conn = growth_mesh
+    from mycelium_tpu.fea.ramp import anchored_mask_host
+    from mycelium_tpu.fea.solve import compute_tree_factor
+    cfg = archive_parity_config(grip_length=0.3, operator="chain",
+                                precond="tree", tree_coarse_weight=0.25,
+                                tree_reg_rel=1e-7)
+    model = build_model(coords, conn, cfg)
+    active = jnp.ones((model.n_elems,), bool)
+    x0 = jnp.zeros((model.n_nodes, 3), jnp.float64)
+    anchored = jnp.asarray(anchored_mask_host(
+        np.asarray(model.conn), np.ones(model.n_elems, bool),
+        np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))))
+    ref = solve_displacement(model, active, 0.005, -0.005, x0, cfg,
+                             anchored)
+    solve = sharded_cg_solver(model, cfg, default_mesh(8))
+    res = solve(active, 0.005, -0.005, x0, anchored)
+    assert bool(res.converged)
+    err = np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
+    assert err < 1e-6, f"sharded vs 1-chip tree L2 {err:.3e}"
+    assert abs(int(res.iters) - int(ref.iters)) <= max(
+        3, int(0.2 * int(ref.iters))), (int(res.iters), int(ref.iters))
+    # precomputed-factor path (the ramp drivers' reuse contract)
+    fac = jax.jit(compute_tree_factor, static_argnums=(2,))(
+        model, active, cfg, anchored)
+    res2 = solve(active, 0.005, -0.005, x0, anchored, fac)
+    assert bool(res2.converged)
+    err2 = np.linalg.norm(np.asarray(res2.x) - np.asarray(ref.x))
+    assert err2 < 1e-6, f"factor-reuse L2 {err2:.3e}"
+
+
+def test_sharded_ramp_tree_pc_and_checkpoint(tmp_path):
+    """run_ramp_sharded production parity: the tree-PC config (factor
+    reused across unchanged-mask steps, device-side anchored refresh,
+    pipelined fetches) must reproduce the single-chip run_ramp records
+    through fracture events, and checkpoint/resume must be record-exact."""
+    from mycelium_tpu.fea.ramp import run_ramp, run_ramp_sharded
+    sc = scenes.test_X()
+    coords, conn = sc.coords, sc.conn
+    import dataclasses
+    cfg = archive_parity_config(operator="chain",
+                                precond="tree", tree_coarse_weight=0.25,
+                                tree_reg_rel=1e-7, n_steps=10,
+                                displacement_max=0.12)  # forces fracture
+    res1 = run_ramp(coords, conn, cfg)
+    resN = run_ramp_sharded(coords, conn, cfg, default_mesh(8))
+    assert res1.active_record.sum() < res1.active_record.shape[0] * \
+        res1.active_record.shape[1], "config never fractured anything"
+    assert res1.disp_record.shape == resN.disp_record.shape
+    np.testing.assert_allclose(resN.disp_record, res1.disp_record,
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_array_equal(resN.active_record, res1.active_record)
+    np.testing.assert_allclose(resN.force_disp, res1.force_disp,
+                               rtol=1e-7, atol=1e-16)
+    # checkpoint mid-ramp, resume, records must match the one-shot run
+    ckpt = str(tmp_path / "sharded_ramp.npz")
+    half = dataclasses.replace(cfg, n_steps=10)
+    run_ramp_sharded(coords, conn,
+                     dataclasses.replace(half, n_steps=10), default_mesh(8),
+                     checkpoint_path=ckpt, checkpoint_every=4)
+    import os
+    assert os.path.exists(ckpt)
+    from mycelium_tpu.io.checkpoint import load_ramp_state
+    step0, _, _, _ = load_ramp_state(ckpt)
+    assert step0 > 0
+    res_r = run_ramp_sharded(coords, conn, half, default_mesh(8),
+                             resume_from=ckpt)
+    np.testing.assert_allclose(res_r.disp_record, resN.disp_record,
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_array_equal(res_r.active_record, resN.active_record)
+
+
 def test_growth_trajectory_matches_single_device():
     """Growth is data-parallel over segment slots: a GSPMD run with state
     arrays sharded across all 8 devices must reproduce the single-device
