@@ -52,6 +52,10 @@ PRESETS = {
         inoculum_nx=66, inoculum_ny=66,
         omega0=5e-6 * (4356 / 25),
         max_segments=1 << 21, max_hyphae=1 << 19,
+        # persistent candidate grid: the per-step 2M-slot rebucket was
+        # ~124 ms of the ~500 ms step (bit-equality vs the full rebuild
+        # tested in test_growth_ops.py::test_incremental_grid_*)
+        grid_incremental=True,
     ),
 }
 

@@ -61,6 +61,27 @@ class GrowthConfig:
                                        # anastomosis query (>= h0_per_point covers
                                        # the co-located inoculum tips; large scenes
                                        # can lower it — cost scales linearly)
+    grid_incremental: bool = False     # persistent APPEND-ONLY cell grid of
+                                       # finalized segments + per-step tip-
+                                       # segment overlay, replacing the full
+                                       # per-step rebucket (a 2M-slot argsort
+                                       # + full-grid geometry gather, ~124 ms
+                                       # of the ~500 ms xlarge step). A
+                                       # segment's geometry freezes when its
+                                       # hypha extends past it (walls and
+                                       # anastomosis mutate TIP slots only),
+                                       # so finalized entries never go stale;
+                                       # mutable tip segments live in the
+                                       # overlay, rebuilt per step over H
+                                       # rows instead of N. Forces the 'grid'
+                                       # query strategy on any backend.
+    grid_update_cap: int = 1 << 16     # chunk size of the incremental insert
+                                       # batch; steps finalizing more than
+                                       # this many segments loop more chunks
+                                       # (bounded device code either way).
+                                       # Also the one-off resume path: a grid
+                                       # rebuilt from a checkpoint inserts
+                                       # the whole backlog in these chunks.
     dtype: str = "float32"
 
     @property
@@ -137,7 +158,7 @@ class FeaConfig:
                                        # term (2*r*9 coefficient planes)
                                        # scales with, and keeps its shifts
                                        # within one plane row
-    tree_dense_tail: int = 1024        # fold trailing elimination levels
+    tree_dense_tail: int = 256         # fold trailing elimination levels
                                        # whose combined slot count is below
                                        # this into ONE dense junction-Schur
                                        # inverse (0 = pure PCR): the tail
@@ -145,8 +166,13 @@ class FeaConfig:
                                        # 103k nodes) and their unrolled op
                                        # chains stall the XLA TPU compile
                                        # superlinearly past ~50k nodes,
-                                       # while a <=3k-dim dense inverse is
-                                       # one MXU matvec per PC apply
+                                       # while a small dense inverse is one
+                                       # MXU matvec per PC apply. 256 beats
+                                       # the old 1024 at 309k DOF (cold 38
+                                       # -> 24 ms: the dim-2688 inverse was
+                                       # ~1/3 of the solve) and 64 loses it
+                                       # back to the extra PCR level
+                                       # (scripts/profile_solve_309k.py)
     operator: str = "ell"              # 'ell' (gather-only SpMV) | 'scatter'
                                        # | 'chain' (shift+MXU, TPU fast path)
     use_pallas: bool = False           # run the whole PCG in one Pallas
@@ -163,7 +189,7 @@ class FeaConfig:
                                        # 'linear' doubles the coarse system
                                        # (halving the node count at which
                                        # coarse_max_dim widens clusters)
-    coarse_max_dim: int = 3072         # cap on the dense coarse operator's
+    coarse_max_dim: int = 1536         # cap on the dense coarse operator's
                                        # dimension: clusters widen from one
                                        # 128-position chain block to k
                                        # blocks so n_basis*3*ceil(nb/k)
@@ -173,8 +199,10 @@ class FeaConfig:
                                        # nodes) and reproducibly CRASHES
                                        # the TPU worker past ~4.7k dim —
                                        # and would be 23k-dim at 1e6 nodes.
-                                       # 3072 matches the tree_dense_tail
-                                       # inverse scale that runs fine.
+                                       # 1536 halves the 309k assembly +
+                                       # inverse vs 3072 at the SAME 6 CG
+                                       # iterations; 768 buys nothing more
+                                       # (scripts/profile_solve_309k.py)
     gmres_restart: int = 32            # Arnoldi restart length for the
                                        # 'gmres' solver leg
     rtol: float = 1e-8                 # CG relative residual tolerance

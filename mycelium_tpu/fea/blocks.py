@@ -56,3 +56,66 @@ def mtv3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         [m[:, 0, i, None] * v[:, 0]
          + m[:, 1, i, None] * v[:, 1]
          + m[:, 2, i, None] * v[:, 2] for i in range(3)], axis=1)
+
+
+def spd_inverse_ns(M: jnp.ndarray, phase1: int = 40,
+                   polish: int = 3) -> jnp.ndarray:
+    """Newton–Schulz dense inverse for SPD matrices — a measured
+    ALTERNATIVE to ``jnp.linalg.inv`` in the preconditioner factors,
+    currently not on the default path: standalone LU looks like a
+    4-10 ms serial latency wall on TPU, but inside the bundled factor
+    program XLA hides most of it, and NS at the precision CG needs
+    (Precision.HIGH phase) measured ~5 ms SLOWER at 309k DOF
+    (scripts/profile_solve_309k.py). Kept unit-tested
+    (test_fea_core.py::test_spd_inverse_ns_matches_lu) for solver work
+    where the inverse is NOT latency-hidden (e.g. a standalone
+    factorization dispatch).
+
+    LU with partial pivoting (what linalg.inv lowers to) is a SERIAL
+    latency wall on TPU: ~4-5 ms at ANY dimension up to a few thousand
+    (measured 4.6 ms at dim 618, 10.1 ms at 2688 — scripts/
+    profile_solve_309k.py). The iteration X <- X(2I - MX) is two MXU
+    matmuls per step fused into one fori_loop program, finishing in
+    well under 1 ms at those sizes.
+
+    Robustness: M is symmetrically normalized to unit diagonal first
+    (zero/negative diagonal entries — identity-padded grip rows — keep
+    scale 1), and X0 = I/||A||_inf guarantees the spectrum of X0·A lies
+    in (0, 1]. Convergence is then one error SQUARING per iteration:
+    err_k = (1 - 1/kappa)^(2^k), so ``phase1`` = 40 covers kappa up to
+    ~1e10 before the dtype floor. The phase-1 matmuls run at
+    Precision.HIGH (3-pass bf16 ~ f32-quality products — single-pass
+    bf16 noise exceeds the 1/kappa contraction margin of the early
+    slow phase and DIVERGES the map for kappa beyond ~1e2: measured as
+    instant NaN on the 309k tail system) and ``polish``
+    highest-precision iterations square away the last rounding; the
+    final step symmetrizes so the result stays an SPD preconditioner
+    for CG. The achievable relative error is ~eps·kappa — the same
+    limit the f32 LU inverse it replaces has.
+    """
+    import jax
+    n = M.shape[0]
+    dt = M.dtype
+    d = jnp.diagonal(M)
+    s = jnp.where(d > 0, jax.lax.rsqrt(
+        jnp.maximum(d, jnp.asarray(1e-30, dt))), 1.0).astype(dt)
+    A = s[:, None] * M * s[None, :]
+    c = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)),
+                    jnp.asarray(1.0, dt))
+    X = (jnp.eye(n, dtype=dt) / c)
+    h3 = jax.lax.Precision.HIGH
+
+    def body1(_, X):
+        T = jnp.matmul(A, X, precision=h3)
+        return 2.0 * X - jnp.matmul(X, T, precision=h3)
+
+    X = jax.lax.fori_loop(0, phase1, body1, X)
+    hi = jax.lax.Precision.HIGHEST
+
+    def body2(_, X):
+        T = jnp.matmul(A, X, precision=hi)
+        X = 2.0 * X - jnp.matmul(X, T, precision=hi)
+        return 0.5 * (X + X.T)
+
+    X = jax.lax.fori_loop(0, polish, body2, X)
+    return s[:, None] * X * s[None, :]

@@ -438,6 +438,10 @@ def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, k_pad, fill_B):
     if M.dtype == jnp.float64 and jax.default_backend() != "cpu":
         # TPU LuDecomposition is f32-only; an f32 inverse is fine for a
         # preconditioner factor (CG corrects the PC's rounding).
+        # (A Newton-Schulz inverse — blocks.spd_inverse_ns — was
+        # measured here: standalone LU looks like a 4-10 ms latency
+        # wall, but IN-BUNDLE the factor program hides most of it and
+        # NS at the precision CG needs came out ~5 ms slower.)
         return jnp.linalg.inv(M.astype(jnp.float32)).astype(M.dtype)
     return jnp.linalg.inv(M)
 

@@ -27,6 +27,8 @@ drops candidates; the defaults are ~10x the mean occupancy).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +110,140 @@ def _bucket(ids, cell, n_cells, cap, sentinel, want_pos=False):
     return out
 
 
+class SegGrid(NamedTuple):
+    """Persistent APPEND-ONLY anastomosis candidate grid
+    (cfg.grid_incremental).
+
+    Replaces the per-step full rebucket (an N-slot argsort + full-grid
+    geometry gather — ~124 ms of the ~500 ms xlarge step) with inserts of
+    only the segments FINALIZED since the last step. A segment's geometry
+    freezes the moment its hypha extends past it: walls
+    (ops.enforce_walls) and anastomosis snaps mutate TIP slots only, so
+    entries never go stale and nothing is ever removed. Mutable tip
+    segments are queried through a per-step overlay table instead (built
+    in detect_anastomosis over H hypha rows, not N segment slots).
+
+    Arrays are stored in the query's plane layout — plane p = rank*gz+cz,
+    so (p, cx, cy) holds the rank-th segment of cell (cx, cy, cz) — and
+    hold exactly what the distance scan reads (start, end-start,
+    1/|end-start|^2), so the query consumes them with no per-step gather
+    at all. The reference's closest analogue is its incremental voxel
+    insert (mycelium_sim_2D.py:540-542 re-inserts only the snapped tip).
+    """
+    ids: jnp.ndarray     # (GC, g, g) int32 segment slots; sentinel = N
+    a: jnp.ndarray       # (3, GC, g, g) segment start components
+    ab: jnp.ndarray      # (3, GC, g, g) end - start components
+    r_ab2: jnp.ndarray   # (GC, g, g) 1/max(|ab|^2, eps); 0 if degenerate
+    count: jnp.ndarray   # (g*g*gz,) int32 per-cell occupancy
+    occ: jnp.ndarray     # () int32 max per-cell occupancy seen
+    n_seen: jnp.ndarray  # () int32 slots already scanned for finalization
+
+
+def empty_grid(cfg: GrowthConfig, capacity: int, dtype) -> SegGrid:
+    g, gz = grid_dims(cfg)
+    GC = gz * cfg.max_per_cell
+    return SegGrid(
+        ids=jnp.full((GC, g, g), capacity, jnp.int32),
+        a=jnp.zeros((3, GC, g, g), dtype),
+        ab=jnp.zeros((3, GC, g, g), dtype),
+        r_ab2=jnp.zeros((GC, g, g), dtype),
+        count=jnp.zeros((g * g * gz,), jnp.int32),
+        occ=jnp.zeros((), jnp.int32),
+        n_seen=jnp.zeros((), jnp.int32),
+    )
+
+
+def grid_insert_finalized(grid: SegGrid, st: GrowthState, cfg: GrowthConfig,
+                          sgeo_pad=None):
+    """Insert every segment finalized since the grid last looked.
+
+    The extension window [n_seen, n_seg) of ``st.prev`` is exactly the
+    set of parents finalized since then: a hypha's old tip enters
+    ``prev`` of its extension segment the step it stops being the tip
+    (branch children carry prev = -1 and mask out; a hypha extends at
+    most once per step, so the window holds no duplicates). Reading the
+    window is one contiguous dynamic slice — no per-hypha gathers.
+
+    Batches run in ``cfg.grid_update_cap`` chunks inside one bounded
+    while_loop, which doubles as the resume path: a fresh grid over a
+    checkpoint-loaded state inserts the whole backlog in the same code.
+
+    Returns (grid', dropped) where ``dropped`` flags per-cell capacity
+    overflow (candidates silently absent — surfaced via state.overflow
+    like the full-rebuild path does).
+    """
+    N = st.capacity
+    g, gz = grid_dims(cfg)
+    C = cfg.max_per_cell
+    GC = gz * C
+    m_cells = g * g * gz
+    U = int(cfg.grid_update_cap)
+    dtype = st.start.dtype
+    if sgeo_pad is None:
+        sgeo_pad = jnp.concatenate(
+            [jnp.concatenate([st.start, st.end], axis=1),
+             jnp.zeros((1, 6), dtype)], axis=0)
+    prev_pad = jnp.concatenate([st.prev, jnp.full((U,), -1, jnp.int32)])
+    eps_len = jnp.asarray(1e-12, dtype)
+    P = GC * g * g
+    pos = jnp.arange(U, dtype=jnp.int32)
+
+    def body(carry):
+        ci, ids_f, a_f, ab_f, r_f, count, occ, dropped = carry
+        base = grid.n_seen + ci * U
+        rows = jax.lax.dynamic_slice_in_dim(prev_pad, base, U)
+        valid = (base + pos < st.n_seg) & (rows >= 0)
+        slot = jnp.where(valid, rows, N)
+        geo = sgeo_pad[slot]                                  # (U, 6)
+        mid = (geo[:, 0:3] + geo[:, 3:6]) * 0.5
+        cell = jnp.where(valid, _cell_id(mid, cfg), m_cells)
+        # rank allocation: in-batch rank by cell (argsort over U rows,
+        # not N) + the cell's standing count
+        order = jnp.argsort(cell)
+        sc = cell[order]
+        run_start = jnp.concatenate([jnp.ones((1,), bool),
+                                     sc[1:] != sc[:-1]])
+        first = jax.lax.cummax(jnp.where(run_start, pos, 0))
+        brank = pos - first
+        rank = count[jnp.minimum(sc, m_cells - 1)] + brank
+        ok = (sc < m_cells) & (rank < C)
+        dropped = dropped | jnp.any((sc < m_cells) & (rank >= C))
+        cz = sc % gz
+        cxy = sc // gz
+        tgt = jnp.where(ok, ((rank * gz + cz) * g + cxy // g) * g
+                        + cxy % g, P)
+        geo_s = geo[order]
+        ab3 = geo_s[:, 3:6] - geo_s[:, 0:3]
+        ab2 = ab3[:, 0] ** 2 + ab3[:, 1] ** 2 + ab3[:, 2] ** 2
+        r = jnp.where(ab2 < eps_len, 0.0,
+                      1.0 / jnp.maximum(ab2, eps_len)).astype(dtype)
+        ids_f = ids_f.at[tgt].set(slot[order], mode="drop")
+        a_f = tuple(a_f[k].at[tgt].set(geo_s[:, k], mode="drop")
+                    for k in range(3))
+        ab_f = tuple(ab_f[k].at[tgt].set(ab3[:, k], mode="drop")
+                     for k in range(3))
+        r_f = r_f.at[tgt].set(r, mode="drop")
+        count = count.at[jnp.where(ok, sc, m_cells)].add(1, mode="drop")
+        occ = jnp.maximum(occ, jnp.max(jnp.where(ok, rank + 1, 0)))
+        return ci + 1, ids_f, a_f, ab_f, r_f, count, occ, dropped
+
+    init = (jnp.asarray(0, jnp.int32), grid.ids.reshape(-1),
+            tuple(grid.a[k].reshape(-1) for k in range(3)),
+            tuple(grid.ab[k].reshape(-1) for k in range(3)),
+            grid.r_ab2.reshape(-1), grid.count, grid.occ,
+            jnp.asarray(False))
+    _, ids_f, a_f, ab_f, r_f, count, occ, dropped = jax.lax.while_loop(
+        lambda c: grid.n_seen + c[0] * U < st.n_seg, body, init)
+    out = grid._replace(
+        ids=ids_f.reshape(GC, g, g),
+        a=jnp.stack([p.reshape(GC, g, g) for p in a_f]),
+        ab=jnp.stack([p.reshape(GC, g, g) for p in ab_f]),
+        r_ab2=r_f.reshape(GC, g, g),
+        count=count, occ=occ,
+        n_seen=jnp.maximum(grid.n_seen, st.n_seg))
+    return out, dropped
+
+
 def point_segment_distance(p, a, b):
     """Batched point-to-segment distance + closest point
     (mycelium_sim_2D.py:114-128). p,a,b: (...,3)."""
@@ -132,10 +268,22 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
       wasteful in FLOPs but gather-free, which is what TPU wants;
     - 'window' (CPU default): gather each tip's 9 neighbor-cell windows —
       ~6x fewer distance evaluations, fine on CPU where gathers are cheap.
+
+    With cfg.grid_incremental the 'grid' candidate table is NOT rebuilt
+    per step: finalized segments live in the persistent append-only
+    SegGrid (st.grid, updated by one windowed insert batch) and the
+    mutable tip segments in a per-step overlay bucketed over H hypha
+    rows; the query folds both sources. Bit-equality with the full
+    rebuild is tested over whole trajectories
+    (test_growth_ops.py::test_incremental_grid_*).
     """
     import jax as _jax
     if strategy is None:
-        strategy = "window" if _jax.default_backend() == "cpu" else "grid"
+        # the persistent grid IS the candidate table -> 'grid' everywhere;
+        # an EXPLICIT strategy still wins (tests cross-check paths)
+        strategy = ("grid" if cfg.grid_incremental else
+                    "window" if _jax.default_backend() == "cpu" else "grid")
+    use_inc = bool(cfg.grid_incremental) and strategy == "grid"
     N, H = st.capacity, st.tip.shape[0]
     C = cfg.max_per_cell
     Ct = cfg.max_tips_per_cell
@@ -147,18 +295,23 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
     # The z dimension is folded into the candidate axis (the z extent is a
     # couple of cells), so a query covers the full z column of each of the
     # 3x3 xy-neighbor cells — a superset of the reference's 3x3x3 query.
-    alive = st.state != EMPTY
-    mid = (st.start + st.end) * 0.5
-    seg_cell = jnp.where(alive, _cell_id(mid, cfg), m_cells)
-    seg_tbl, seg_dropped, seg_occ = _bucket(
-        jnp.arange(N, dtype=jnp.int32), seg_cell, m_cells, C, sentinel=N)
+    # With cfg.grid_incremental the full rebucket is replaced by the
+    # persistent SegGrid + a tip-segment overlay (built below).
     sgeo = jnp.concatenate([st.start, st.end], axis=1)        # (N, 6)
     sgeo_pad = jnp.concatenate([sgeo, jnp.zeros((1, 6), dtype)], axis=0)
+    if not use_inc:
+        alive = st.state != EMPTY
+        mid = (st.start + st.end) * 0.5
+        seg_cell = jnp.where(alive, _cell_id(mid, cfg), m_cells)
+        seg_tbl, seg_dropped, seg_occ = _bucket(
+            jnp.arange(N, dtype=jnp.int32), seg_cell, m_cells, C,
+            sentinel=N)
 
     hyp_ids = jnp.arange(H, dtype=jnp.int32)
     t = jnp.maximum(st.tip, 0)
     tip_ok = (hyp_ids < st.n_hyp) & (st.tip >= 0) & (st.state[t] == ACTIVE)
-    tip_end = st.end[t]                                       # (H, 3)
+    tge = sgeo[t]                                             # (H, 6)
+    tip_end = tge[:, 3:6]                                     # (H, 3)
 
     big = jnp.asarray(jnp.inf, dtype)
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -202,41 +355,81 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         # select, pure VPU), so no winner gather/recompute at the end.
         GC = gz * C
         GT = gz * Ct
-        # slot-major candidate axis: position = slot*gz + z, so occupied
-        # entries form a prefix of length occ*gz in every (x,y) column
-        idx_grid = seg_tbl.reshape(g, g, gz, C) \
-            .transpose(3, 2, 0, 1).reshape(GC, g, g)
-        K = min(16, GC)
-        while GC % K:
-            K -= 1
-        n_sc = jnp.minimum((seg_occ * gz + K - 1) // K,
-                           GC // K).astype(jnp.int32)
-        # geometry pregather, bounded by occupancy: only occupied chunks
-        # are gathered (the full-table gather cost 37 ms/step at xlarge);
-        # unvisited chunks stay zero, excluded by the ids>=N mask below
-        def pre_body(carry):
-            pc, bufs = carry
-            ids_c = jax.lax.dynamic_slice_in_dim(idx_grid, pc * K, K,
-                                                 axis=0)
-            geo = sgeo_pad[ids_c]                             # (K,g,g,6)
-            bufs = tuple(
-                jax.lax.dynamic_update_slice_in_dim(bufs[k], geo[..., k],
-                                                    pc * K, axis=0)
-                for k in range(6))
-            return pc + 1, bufs
-
-        _, segp_t = jax.lax.while_loop(
-            lambda cy_: cy_[0] < n_sc, pre_body,
-            (jnp.asarray(0, jnp.int32),
-             tuple(jnp.zeros((GC, g, g), dtype) for _ in range(6))))
-        segp = list(segp_t)
-        # per-candidate precompute (offset-independent since segment
-        # planes are never rolled): direction, inverse squared length
         eps_len = jnp.asarray(1e-12, dtype)
-        ab = [segp[3 + k] - segp[k] for k in range(3)]
-        ab2 = ab[0] * ab[0] + ab[1] * ab[1] + ab[2] * ab[2]
-        r_ab2 = jnp.where(ab2 < eps_len, 0.0, 1.0 / jnp.maximum(ab2,
-                                                                eps_len))
+
+        def chunk_of(cap):
+            K = min(16, cap)
+            while cap % K:
+                K -= 1
+            return K
+
+        def gather_source(ids_grid, occ, cap):
+            """Build one candidate source from a plane-layout id table:
+            occupancy-bounded geometry pregather (only occupied chunks
+            are gathered — the full-table gather cost 37 ms/step at
+            xlarge; unvisited chunks stay zero, excluded by the ids>=N
+            mask in the scan) + offset-independent per-candidate
+            precompute (direction, inverse squared length — segment
+            planes are never rolled)."""
+            K = chunk_of(cap)
+            n_sc = jnp.minimum((occ * gz + K - 1) // K,
+                               cap // K).astype(jnp.int32)
+
+            def pre_body(carry):
+                pc, bufs = carry
+                ids_c = jax.lax.dynamic_slice_in_dim(ids_grid, pc * K, K,
+                                                     axis=0)
+                geo = sgeo_pad[ids_c]                         # (K,g,g,6)
+                bufs = tuple(
+                    jax.lax.dynamic_update_slice_in_dim(
+                        bufs[k], geo[..., k], pc * K, axis=0)
+                    for k in range(6))
+                return pc + 1, bufs
+
+            _, segp_t = jax.lax.while_loop(
+                lambda cy_: cy_[0] < n_sc, pre_body,
+                (jnp.asarray(0, jnp.int32),
+                 tuple(jnp.zeros((cap, g, g), dtype) for _ in range(6))))
+            segp = list(segp_t)
+            ab = [segp[3 + k] - segp[k] for k in range(3)]
+            ab2 = ab[0] * ab[0] + ab[1] * ab[1] + ab[2] * ab[2]
+            r_ab2 = jnp.where(ab2 < eps_len, 0.0,
+                              1.0 / jnp.maximum(ab2, eps_len))
+            return (segp[:3], ab, r_ab2, ids_grid, n_sc, K)
+
+        grid_new = st.grid
+        if use_inc:
+            # persistent source: finalized segments, query-ready planes —
+            # no per-step gather at all; mutable tip segments ride a
+            # per-step overlay table built over H hypha rows, not N slots
+            if st.grid is None:
+                raise ValueError(
+                    "cfg.grid_incremental needs st.grid — thread the "
+                    "state through state.ensure_grid / init_state")
+            grid_new, ins_dropped = grid_insert_finalized(
+                st.grid, st, cfg, sgeo_pad)
+            Kp = chunk_of(GC)
+            n_sc_p = jnp.minimum((grid_new.occ * gz + Kp - 1) // Kp,
+                                 GC // Kp).astype(jnp.int32)
+            sources = [([grid_new.a[k] for k in range(3)],
+                        [grid_new.ab[k] for k in range(3)],
+                        grid_new.r_ab2, grid_new.ids, n_sc_p, Kp)]
+            tip_seg_ok = (hyp_ids < st.n_hyp) & (st.tip >= 0)
+            mid_t = (tge[:, 0:3] + tip_end) * 0.5
+            ov_cell = jnp.where(tip_seg_ok, _cell_id(mid_t, cfg), m_cells)
+            ov_tbl, ov_dropped, ov_occ = _bucket(
+                t, ov_cell, m_cells, Ct, sentinel=N)
+            ov_ids = ov_tbl.reshape(g, g, gz, Ct) \
+                .transpose(3, 2, 0, 1).reshape(GT, g, g)
+            sources.append(gather_source(ov_ids, ov_occ, GT))
+            seg_dropped = ov_dropped + ins_dropped.astype(ov_dropped.dtype)
+        else:
+            # slot-major candidate axis: position = slot*gz + z, so
+            # occupied entries form a prefix of length occ*gz in every
+            # (x,y) column
+            idx_grid = seg_tbl.reshape(g, g, gz, C) \
+                .transpose(3, 2, 0, 1).reshape(GC, g, g)
+            sources = [gather_source(idx_grid, seg_occ, GC)]
 
         reach = (cfg.h0 + cfg.anastomosis_tol) * 0.5 + cfg.anastomosis_tol
         corner_window = reach <= cfg.voxel_size * 0.5
@@ -270,23 +463,23 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
 
         best_d2 = jnp.full((GT, g, g), big)
         best_p = [jnp.zeros((GT, g, g), dtype) for _ in range(3)]
-        for dx, dy in grid_offs:
-            # roll tips by +(dx,dy): at grid index m the pair is
-            # (tip bucket m-(dx,dy)) vs (segment cell m)
-            rtp = [jnp.roll(p, (dx, dy), axis=(1, 2)) for p in tpp]
-            rts = jnp.roll(tslot, (dx, dy), axis=(1, 2))
 
-            def seg_body(carry, tpc=None, tsl=None):
+        def make_seg_scan(src):
+            """Chunked distance scan over one candidate source (the
+            persistent grid and the tip overlay fold the same way)."""
+            aP, abP, rP, idsP, n_scP, Ks = src
+
+            def seg_body(carry, tpc, tsl):
                 sc, b_d2, b_p0, b_p1, b_p2 = carry
-                sl_a = [jax.lax.dynamic_slice_in_dim(segp[k], sc * K, K,
-                                                     axis=0)[None]
+                sl_a = [jax.lax.dynamic_slice_in_dim(
+                    aP[k], sc * Ks, Ks, axis=0)[None]
                         for k in range(3)]                    # (1,K,g,g)
-                sl_ab = [jax.lax.dynamic_slice_in_dim(ab[k], sc * K, K,
-                                                      axis=0)[None]
+                sl_ab = [jax.lax.dynamic_slice_in_dim(
+                    abP[k], sc * Ks, Ks, axis=0)[None]
                          for k in range(3)]
-                sl_r = jax.lax.dynamic_slice_in_dim(r_ab2, sc * K, K,
+                sl_r = jax.lax.dynamic_slice_in_dim(rP, sc * Ks, Ks,
                                                     axis=0)[None]
-                ids = jax.lax.dynamic_slice_in_dim(idx_grid, sc * K, K,
+                ids = jax.lax.dynamic_slice_in_dim(idsP, sc * Ks, Ks,
                                                    axis=0)[None]
                 ap = [tpc[k][:, None] - sl_a[k] for k in range(3)]
                 apab = (ap[0] * sl_ab[0] + ap[1] * sl_ab[1]
@@ -310,20 +503,35 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
                         jnp.where(better, pj[1], b_p1),
                         jnp.where(better, pj[2], b_p2))
 
+            def run(tpc, tsl, best):
+                init = (jnp.asarray(0, jnp.int32),) + best
+                out = jax.lax.while_loop(
+                    lambda cy_: cy_[0] < n_scP,
+                    lambda cy_: seg_body(cy_, tpc, tsl), init)
+                return out[1:]
+
+            return run
+
+        seg_scans = [make_seg_scan(src) for src in sources]
+        for dx, dy in grid_offs:
+            # roll tips by +(dx,dy): at grid index m the pair is
+            # (tip bucket m-(dx,dy)) vs (segment cell m)
+            rtp = [jnp.roll(p, (dx, dy), axis=(1, 2)) for p in tpp]
+            rts = jnp.roll(tslot, (dx, dy), axis=(1, 2))
+
             def tip_body(carry):
                 tc, d2b, p0b, p1b, p2b = carry
                 tpc = [jax.lax.dynamic_slice_in_dim(p, tc * Kt, Kt, axis=0)
                        for p in rtp]                          # (Kt,g,g)
                 tsl = jax.lax.dynamic_slice_in_dim(rts, tc * Kt, Kt,
                                                    axis=0)
-                init = (jnp.asarray(0, n_sc.dtype),
-                        jnp.full((Kt, g, g), big),
+                best = (jnp.full((Kt, g, g), big),
                         jnp.zeros((Kt, g, g), dtype),
                         jnp.zeros((Kt, g, g), dtype),
                         jnp.zeros((Kt, g, g), dtype))
-                _, bd2, bp0, bp1, bp2 = jax.lax.while_loop(
-                    lambda cy_: cy_[0] < n_sc,
-                    lambda cy_: seg_body(cy_, tpc=tpc, tsl=tsl), init)
+                for run_scan in seg_scans:
+                    best = run_scan(tpc, tsl, best)
+                bd2, bp0, bp1, bp2 = best
                 upd = jax.lax.dynamic_update_slice_in_dim
                 return (tc + 1, upd(d2b, bd2, tc * Kt, axis=0),
                         upd(p0b, bp0, tc * Kt, axis=0),
@@ -367,6 +575,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         n_dropped = seg_dropped + tip_dropped
     else:
         # per-tip windows gathered from the dense table (CPU-friendly)
+        grid_new = st.grid
         tbl_cols = seg_tbl.reshape(g * g, gz * C)
         cx, cy, _ = cell_coords(tip_end, cfg)
         best = (jnp.full((H,), big), jnp.zeros((H, 3), dtype))
@@ -392,6 +601,9 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
          for k in range(3)], axis=1)
     state = st.state.at[idx].set(ANASTOMOSED, mode="drop")
     # cell-capacity overflow dropped candidates from the query: surface it
-    # through the same flag as slot-capacity exhaustion (drivers warn)
-    return st._replace(end=end, state=state,
+    # through the same flag as slot-capacity exhaustion (drivers warn).
+    # NOTE the snap above mutates st.end of a TIP slot only — the
+    # persistent grid (finalized segments) cannot go stale from it; the
+    # new end is seen next step through the rebuilt tip overlay.
+    return st._replace(end=end, state=state, grid=grid_new,
                        overflow=st.overflow | (n_dropped > 0))

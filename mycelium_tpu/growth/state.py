@@ -54,6 +54,12 @@ class GrowthState(NamedTuple):
     key: jnp.ndarray      # PRNG key
     step: jnp.ndarray     # () int32
     overflow: jnp.ndarray  # () bool — capacity exhausted at some point
+    grid: object = None   # Optional[neighbors.SegGrid] — persistent
+                          # anastomosis candidate grid
+                          # (cfg.grid_incremental); a pure CACHE of the
+                          # arrays above: reconstructible at any point,
+                          # skipped by checkpoints, attached by
+                          # init_state / ensure_grid
 
     @property
     def capacity(self) -> int:
@@ -154,4 +160,15 @@ def init_state(cfg: GrowthConfig, env: Environment | None = None,
         step=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(False),
     )
-    return st, ea
+    return ensure_grid(st, cfg), ea
+
+
+def ensure_grid(st: GrowthState, cfg: GrowthConfig) -> GrowthState:
+    """Attach the persistent anastomosis grid when cfg.grid_incremental and
+    the state doesn't carry one (fresh init, loaded checkpoint). Must run
+    OUTSIDE any scan: the grid changes the carry pytree structure."""
+    if not cfg.grid_incremental or st.grid is not None:
+        return st
+    from .neighbors import empty_grid
+    return st._replace(grid=empty_grid(cfg, st.capacity,
+                                       jnp.dtype(cfg.dtype)))

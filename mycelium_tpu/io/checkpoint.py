@@ -34,8 +34,10 @@ def save_growth_state(path: str, st: GrowthState) -> str:
     from ..utils.dist import is_coordinator
     if not is_coordinator():   # one writer per cluster (utils/dist.py)
         return path
+    st = st._replace(grid=None)   # pure cache, rebuilt on resume
     host = {k: np.asarray(v) for k, v in
-            zip(GrowthState._fields, jax.device_get(tuple(st)))}
+            zip(GrowthState._fields, jax.device_get(tuple(st)))
+            if k != "grid"}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(path, **host)
     return path
@@ -43,11 +45,13 @@ def save_growth_state(path: str, st: GrowthState) -> str:
 
 def load_growth_state(path: str) -> GrowthState:
     data = np.load(path)
-    missing = set(GrowthState._fields) - set(data.files)
+    missing = set(GrowthState._fields) - set(data.files) - {"grid"}
     if missing:
         raise ValueError(f"checkpoint missing fields: {sorted(missing)}")
     vals = {}
     for k in GrowthState._fields:
+        if k == "grid":   # cache; state.ensure_grid re-attaches on resume
+            continue
         v = data[k]
         if k == "key":
             vals[k] = jnp.asarray(v, dtype=jnp.uint32)

@@ -272,3 +272,29 @@ def test_pcg_stagnation_exit():
     assert bool(res3.converged)
     assert float(jnp.linalg.norm(mat @ res3.x - b)) <= \
         1e-8 * float(jnp.linalg.norm(b)) * 1.01
+
+
+def test_spd_inverse_ns_matches_lu():
+    """Newton-Schulz inverse (the TPU replacement for linalg.inv in the
+    PC factors) converges to the LU inverse for SPD systems across a
+    wide conditioning range, including identity-padded grip rows."""
+    from mycelium_tpu.fea.blocks import spd_inverse_ns
+    rng = np.random.default_rng(3)
+    for n, cond in [(64, 1e2), (300, 1e6)]:
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        ev = np.logspace(0.0, np.log10(cond), n)
+        m = (q * ev) @ q.T
+        m = 0.5 * (m + m.T)
+        # identity-pad a few rows like the coarse operator's gripped
+        # clusters (pallas_cg._coarse_inverse)
+        m[:3, :] = 0.0
+        m[:, :3] = 0.0
+        m[np.arange(3), np.arange(3)] = 1.0
+        x = np.asarray(spd_inverse_ns(jnp.asarray(m, jnp.float64)))
+        # de-normalized residual amplifies by diagonal-scale ratios; the
+        # normalized residual (what CG sees through the PC) floors ~1e-11
+        err = np.linalg.norm(x @ m - np.eye(n)) / np.linalg.norm(x @ m)
+        assert err < 1e-5, (n, cond, err)
+        lu = np.linalg.inv(m)
+        assert np.linalg.norm(x - lu) / np.linalg.norm(lu) < 1e-5
+        assert np.allclose(x, x.T, atol=1e-10)

@@ -445,3 +445,92 @@ def test_uptake_saturated_interleave():
                                rtol=1e-12, atol=1e-22)
     np.testing.assert_allclose(float(b.env_e[0]), float(a.env_e[0]),
                                rtol=1e-9, atol=2e-18)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _step_with_grid(st, ea, cfg):
+    """growth_step's exact op order with the query strategy pinned to
+    'grid' (the step default would pick 'window' on CPU). Jitted like
+    the production step: the eager per-primitive path additionally
+    tickles a persistent-compilation-cache deserialization segfault on
+    re-read of eager while_loop executables (jax 0.8 CPU)."""
+    key, k_grow = jax.random.split(st.key)
+    st = st._replace(key=key)
+    st = translocate(st, cfg)
+    st = grow(st, cfg, k_grow)
+    st = detect_anastomosis(st, cfg, strategy="grid")
+    st = uptake(st, ea, cfg)
+    st = enforce_walls(st, ea, cfg, st.key)
+    return st._replace(step=st.step + 1)
+
+
+def _assert_states_equal(a, b, context=""):
+    for f in ("start", "end", "theta", "phi", "sub", "state", "prev",
+              "hypha", "tip", "n_seg", "n_hyp", "env_e"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f"{context} field {f}")
+
+
+def test_incremental_grid_matches_full_rebuild():
+    """cfg.grid_incremental (persistent grid + tip overlay) must produce
+    the same trajectory as the per-step full rebucket over a real
+    multi-step run with growth, branching, anastomosis and walls."""
+    import dataclasses
+    cfg_f = GrowthConfig(t_steps=40, max_segments=1 << 12,
+                         max_hyphae=1 << 11)
+    cfg_i = dataclasses.replace(cfg_f, grid_incremental=True)
+    env = petri_dish(cfg_f)
+    st_f, ea = init_state(cfg_f, env)
+    st_i, _ = init_state(cfg_i, env)
+    assert st_i.grid is not None and st_f.grid is None
+    snaps = 0
+    for ti in range(cfg_f.t_steps):
+        st_f = _step_with_grid(st_f, ea, cfg_f)
+        st_i = _step_with_grid(st_i, ea, cfg_i)
+        if ti % 8 == 7 or ti == cfg_f.t_steps - 1:
+            _assert_states_equal(st_f, st_i, f"step {ti}")
+    snaps = int(np.sum(np.asarray(st_f.state) == ANASTOMOSED))
+    assert snaps > 0, "scene produced no anastomosis — test is vacuous"
+    assert int(np.asarray(st_f.n_seg)) > 500
+    assert not bool(np.asarray(st_i.overflow))
+
+
+def test_incremental_grid_resume_backlog():
+    """A fresh grid attached mid-trajectory (the checkpoint-resume path)
+    inserts the whole backlog through the same chunked code and then
+    tracks the full rebuild exactly."""
+    import dataclasses
+    from mycelium_tpu.growth.state import ensure_grid
+    cfg_f = GrowthConfig(t_steps=30, max_segments=1 << 12,
+                         max_hyphae=1 << 11, grid_update_cap=256)
+    cfg_i = dataclasses.replace(cfg_f, grid_incremental=True)
+    env = petri_dish(cfg_f)
+    st_f, ea = init_state(cfg_f, env)
+    for _ in range(15):
+        st_f = _step_with_grid(st_f, ea, cfg_f)
+    # resume: attach an empty grid to the midpoint state (backlog >> cap
+    # exercises the chunk loop) and continue incrementally
+    st_i = ensure_grid(st_f, cfg_i)
+    assert int(np.asarray(st_f.n_seg)) > 256
+    for _ in range(15):
+        st_f = _step_with_grid(st_f, ea, cfg_f)
+        st_i = _step_with_grid(st_i, ea, cfg_i)
+    _assert_states_equal(st_f, st_i, "resumed")
+
+
+def test_incremental_grid_cell_overflow_sets_flag():
+    """Per-cell capacity overflow during incremental inserts must raise
+    the state overflow flag exactly like the full rebucket does."""
+    import dataclasses
+    cfg = GrowthConfig(t_steps=12, max_segments=1 << 12,
+                       max_hyphae=1 << 11, max_per_cell=2,
+                       grid_incremental=True)
+    env = petri_dish(cfg)
+    st, ea = init_state(cfg, env)
+    for _ in range(cfg.t_steps):
+        st = _step_with_grid(st, ea, cfg)
+    assert bool(np.asarray(st.overflow))
