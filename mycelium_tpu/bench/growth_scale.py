@@ -51,7 +51,11 @@ PRESETS = {
         dish_size=35.0, substrate_width=35.0,
         inoculum_nx=66, inoculum_ny=66,
         omega0=5e-6 * (4356 / 25),
-        max_segments=1 << 21, max_hyphae=1 << 19,
+        # hypha capacity sized to the workload (~235k peak) + ~11%
+        # headroom: every per-hypha op (grow staging, walls sweeps, the
+        # tip overlay) is H-row-bound, so the old 2^19 slack was ~90 ms
+        # of pure padding per step; overflow surfaces via the state flag
+        max_segments=1 << 21, max_hyphae=1 << 18,
         # persistent candidate grid: the per-step 2M-slot rebucket was
         # ~124 ms of the ~500 ms step (bit-equality vs the full rebuild
         # tested in test_growth_ops.py::test_incremental_grid_*)

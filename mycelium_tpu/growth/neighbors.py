@@ -414,14 +414,21 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
             sources = [([grid_new.a[k] for k in range(3)],
                         [grid_new.ab[k] for k in range(3)],
                         grid_new.r_ab2, grid_new.ids, n_sc_p, Kp)]
+            # overlay capacity = max_per_cell (not the tip-END cap): tip
+            # SEGMENT midpoints cluster like segments, not like corner-
+            # bucketed tips — Ct=16 dropped candidates at the xlarge
+            # inoculum density that the old combined C=64 table held
+            # (surfaced as a spurious overflow flag). The scan is bounded
+            # by measured occupancy, so the wider table costs memory only.
+            GO = gz * C
             tip_seg_ok = (hyp_ids < st.n_hyp) & (st.tip >= 0)
             mid_t = (tge[:, 0:3] + tip_end) * 0.5
             ov_cell = jnp.where(tip_seg_ok, _cell_id(mid_t, cfg), m_cells)
             ov_tbl, ov_dropped, ov_occ = _bucket(
-                t, ov_cell, m_cells, Ct, sentinel=N)
-            ov_ids = ov_tbl.reshape(g, g, gz, Ct) \
-                .transpose(3, 2, 0, 1).reshape(GT, g, g)
-            sources.append(gather_source(ov_ids, ov_occ, GT))
+                t, ov_cell, m_cells, C, sentinel=N)
+            ov_ids = ov_tbl.reshape(g, g, gz, C) \
+                .transpose(3, 2, 0, 1).reshape(GO, g, g)
+            sources.append(gather_source(ov_ids, ov_occ, GO))
             seg_dropped = ov_dropped + ins_dropped.astype(ov_dropped.dtype)
         else:
             # slot-major candidate axis: position = slot*gz + z, so
