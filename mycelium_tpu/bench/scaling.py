@@ -78,20 +78,23 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6, quiet=False):
             # the previous solution), so the chain still times true
             # back-to-back cold solves.
             @jax.jit
-            def one_solve(model, act, anchored, x0):
+            def one_solve(model, active, anchored, xc):
                 # factorization INSIDE the program (tree_factor_val=None
                 # -> computed in-trace): one dispatch per true cold solve
                 # instead of two (~10 ms host overhead each through the
-                # relay)
-                res = solve_displacement(model, act, dy, -dy, x0, cfg,
-                                         anchored)
+                # relay). The data-dependent perturbation that stops XLA
+                # from caching the factorization also lives IN the jit:
+                # eager host ops through the axon tunnel cost ~1 ms each
+                # and were inflating this measurement ~15% (traced).
+                act = active & jnp.isfinite(xc[0, 0])
+                res = solve_displacement(model, act, dy, -dy, xc * 1e-30,
+                                         cfg, anchored)
                 return res.x, res.iters
 
             def chained_host(k):
                 xc, it = x0, None
                 for _ in range(k):
-                    act = active & jnp.isfinite(xc[0, 0])
-                    xc, it = one_solve(model, act, anchored, xc * 1e-30)
+                    xc, it = one_solve(model, active, anchored, xc)
                 jax.block_until_ready(xc)
                 return xc, it
 
@@ -102,6 +105,31 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6, quiet=False):
                 _, iters = chained_host(n_chain)
                 ts.append((time.perf_counter() - t0) / n_chain)
             iters = jnp.broadcast_to(iters, (n_chain,))
+
+            # factorization share of the cold solve (VERDICT r2 #2 asks
+            # for the per-size factor/CG split): chain jitted
+            # compute_tree_factor calls, each data-dependent on the last
+            from ..fea.solve import compute_tree_factor
+
+            @jax.jit
+            def one_fac(model, active, anchored, xc):
+                act = active & jnp.isfinite(xc[0, 0])
+                f = compute_tree_factor(model, act, cfg, anchored)
+                return xc * 1e-30 + f.dinv[0, 0]
+
+            def fac_chain(k):
+                xc = x0
+                for _ in range(k):
+                    xc = one_fac(model, active, anchored, xc)
+                jax.block_until_ready(xc)
+
+            fac_chain(2)
+            fts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fac_chain(n_chain)
+                fts.append((time.perf_counter() - t0) / n_chain)
+            factor_ms = round(float(np.median(fts)) * 1e3, 2)
         else:
             @jax.jit
             def chained(model, active, anchored, x0):
@@ -124,6 +152,7 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6, quiet=False):
                 xl, iters = chained(model, active, anchored, x0)
                 jax.block_until_ready(xl)
                 ts.append((time.perf_counter() - t0) / n_chain)
+            factor_ms = None    # in-kernel factorization, not separable
         per_solve = float(np.median(ts))
         row = {
             "n_dof": n_dof,
@@ -134,6 +163,8 @@ def run(n_nodes_list, n_chain=8, rtol=1e-6, quiet=False):
             "pallas_mode": pallas_mode,
             "plan_build_s": round(build_s, 2),
         }
+        if factor_ms is not None:
+            row["factor_ms"] = factor_ms
         from .roofline import roofline_row
         row.update(roofline_row(model, row["cg_iters"], per_solve))
         results.append(row)

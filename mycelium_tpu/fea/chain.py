@@ -334,6 +334,16 @@ def chain_apply(plan: ChainPlan, chain_act, jump_act, u_perm):
     return out
 
 
+def plan_active_masks_bool(plan: ChainPlan, active):
+    """Bool form of plan_active_masks: gather the per-element active mask
+    into plan order ONCE and share it (each ~1e5-row bool gather costs
+    ~0.8 ms on-device at 309k DOF — traced; the solve used to repeat it
+    in the matvec prep, the tree diag, and the factor)."""
+    act_pad = jnp.concatenate([active.astype(bool),
+                               jnp.zeros((1,), bool)])
+    return act_pad[plan.chain_elem], act_pad[plan.jump_elem]
+
+
 def plan_active_masks(plan: ChainPlan, active):
     """Gather the per-element active mask into plan order (chain slots and
     jump rows). Called once per solve — the only gathers on this path.
@@ -342,7 +352,5 @@ def plan_active_masks(plan: ChainPlan, active):
     f32 row-gathers at 1e5 rows cost tens of ms on TPU, bool ones ~10x
     less."""
     dtype = plan.chain_n.dtype
-    act_pad = jnp.concatenate([active.astype(bool),
-                               jnp.zeros((1,), bool)])
-    return (act_pad[plan.chain_elem].astype(dtype),
-            act_pad[plan.jump_elem].astype(dtype))
+    cb, jb = plan_active_masks_bool(plan, active)
+    return cb.astype(dtype), jb.astype(dtype)

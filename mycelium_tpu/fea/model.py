@@ -211,6 +211,15 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
             left_k3 = np.zeros((len(lk), 3, 3))
             is_le = lk == KIND_ELEM
             left_k3[is_le] = k3[lid[is_le]]
+            # unified-order invariant check (host, once per mesh): the
+            # left edge of slot s is chain edge s-1 for every KIND_ELEM
+            # slot — lets the factor derive the left-edge active mask
+            # from the plan-order chain mask by a shift (no S-row gather)
+            ce_h = np.asarray(chain_host["chain_elem"])
+            ile = np.nonzero(is_le)[0]
+            shift_ok = bool(
+                (len(ile) == 0 or ile[0] > 0)
+                and np.array_equal(lid[ile], ce_h[ile - 1]))
             tree_fast = FastFactorData(
                 chain_tree=jnp.asarray(
                     tree_pad[chain_host["chain_elem"]]),
@@ -222,7 +231,8 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
                 jb=jnp.asarray(np.asarray(chain_host["jb"], np.int32)),
                 meta=FastMeta(level_left_fill=tuple(
                     bool(np.any(lv.left_kind == KIND_FILL))
-                    for lv in schedule.levels)),
+                    for lv in schedule.levels),
+                    left_is_chain_shift=shift_ok),
             )
         if cfg.use_pallas and chain_packed is not None and schedule.levels:
             from .pallas_cg import chain_table_bytes

@@ -925,7 +925,7 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
     """One boundary-value solve: whole-PCG Pallas kernel with the in-kernel
     spanning-forest preconditioner."""
     from .bc import prescribed_values
-    from .chain import plan_active_masks
+    from .chain import plan_active_masks_bool
     from .pallas_cg import _pack_plane, _tile3, pack_vec3, plan_nb
 
     plan = model.chain
@@ -943,13 +943,16 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
 
     free = model.free_nodes if anchored is None \
         else jnp.logical_and(model.free_nodes, anchored)
-    chain_act, jump_act = plan_active_masks(plan, active)
-    cact = _tile3(_pack_plane(chain_act.astype(f32), nbc))
-    jact_col = jnp.pad(jump_act.astype(f32), (0, jp - jump_act.shape[0]))
+    # one bool gather each for active/free, shared with the diag below
+    chain_act_b, jump_act_b = plan_active_masks_bool(plan, active)
+    free_chain_b = free[plan.perm]
+    cact = _tile3(_pack_plane(chain_act_b.astype(f32), nbc))
+    jact_col = jnp.pad(jump_act_b.astype(f32),
+                       (0, jp - jump_act_b.shape[0]))
     jact = jnp.broadcast_to(jact_col[:, None], (jp, BLOCK))
 
     u_k = prescribed_values(model, dy_top, dy_bot).astype(f32)
-    free3 = jnp.repeat(free[plan.perm].astype(f32)[:, None], 3, axis=1)
+    free3 = jnp.repeat(free_chain_b.astype(f32)[:, None], 3, axis=1)
     freem = pack_vec3(free3, nbc)
     uk_p = pack_vec3(u_k[plan.perm], nbc)
     x0_p = pack_vec3(x0.astype(f32)[plan.perm], nbc)
@@ -970,10 +973,10 @@ def pallas_tree_solve(model, chain_packed, tree_packed: PackedTreeData,
         # extraction is a slice (the old path's N-row scatter-adds plus
         # the Sp-row slot gather cost ~150 ms at 309k DOF)
         from .tree_jax import chain_tree_diag
-        free_chain = free[plan.perm]
         D_chain = chain_tree_diag(tplan, model.tree_fast, plan, active,
-                                  free_chain,
-                                  jnp.asarray(reg_pc, f32)).astype(f32)
+                                  free_chain_b,
+                                  jnp.asarray(reg_pc, f32),
+                                  chain_act_b, jump_act_b).astype(f32)
         # (9, Sp) planes (identity on padding rows) are ALREADY the d9
         # layout the kernel wants: reshape, no per-component slicing
         pad_eye = jnp.eye(3, dtype=f32).reshape(9, 1)

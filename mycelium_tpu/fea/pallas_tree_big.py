@@ -140,7 +140,7 @@ def pallas_tree_big_solve(model, chain_packed, active,
     """One boundary-value solve: XLA factorization, XLA CG, Pallas chain
     matvec, XLA tree-PC apply (PCR whale level + dense tail)."""
     from .bc import prescribed_values
-    from .chain import plan_active_masks
+    from .chain import plan_active_masks_bool
     from .pallas_cg import _pack_plane, _tile3, pack_vec3, unpack_vec3
     from .solve import _coarse_chain_fn, compute_tree_factor, pcg
     from .tree_jax import tree_apply_chain_planes
@@ -153,23 +153,30 @@ def pallas_tree_big_solve(model, chain_packed, active,
 
     free = model.free_nodes if anchored is None \
         else jnp.logical_and(model.free_nodes, anchored)
-    chain_act, jump_act = plan_active_masks(plan, active)
-    cact = _tile3(_pack_plane(chain_act.astype(f32), nbc))
-    jact_col = jnp.pad(jump_act.astype(f32), (0, jp - jump_act.shape[0]))
+    # ONE plan-order bool gather each for active and free — shared with
+    # the tree factorization below (each repeat cost ~0.8 ms on-device)
+    chain_act_b, jump_act_b = plan_active_masks_bool(plan, active)
+    free_chain_b = free[plan.perm]
+    cact = _tile3(_pack_plane(chain_act_b.astype(f32), nbc))
+    jact_col = jnp.pad(jump_act_b.astype(f32),
+                       (0, jp - jump_act_b.shape[0]))
     jact = jnp.broadcast_to(jact_col[:, None], (jp, BLOCK))
     cnm = chain_packed.cn * cact
     ckaxm = chain_packed.ckax * cact
     ckbdm = chain_packed.ckbd * cact
 
     u_k = prescribed_values(model, dy_top, dy_bot).astype(f32)
-    free3 = jnp.repeat(free[plan.perm].astype(f32)[:, None], 3, axis=1)
+    free3 = jnp.repeat(free_chain_b.astype(f32)[:, None], 3, axis=1)
     freem = pack_vec3(free3, nbc)
     uk_p = pack_vec3(u_k[plan.perm], nbc)
     x0_p = pack_vec3(x0.astype(f32)[plan.perm], nbc)
 
     # factorization in XLA (gather-free fast path; PCR levels + dense tail)
     factor = (tree_factor_val if tree_factor_val is not None
-              else compute_tree_factor(model, active, cfg, anchored))
+              else compute_tree_factor(model, active, cfg, anchored,
+                                       free_chain=free_chain_b,
+                                       chain_act_b=chain_act_b,
+                                       jump_act_b=jump_act_b))
 
     interp = jax.default_backend() == "cpu"
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731

@@ -451,20 +451,35 @@ SOLVERS = {"cg": pcg, "bicgstab": bicgstab, "gmres": gmres}
 
 
 def compute_tree_factor(model: FeaModel, active, cfg: FeaConfig,
-                        anchored=None):
+                        anchored=None, free_chain=None,
+                        chain_act_b=None, jump_act_b=None):
     """The per-solve tree-PC factorization (fast path), exposed so ramp
     drivers can REUSE it across steps whose active mask did not change —
     between fracture events the factorization is step-invariant and
-    dominates the cold-solve cost at 1e5+ DOF."""
+    dominates the cold-solve cost at 1e5+ DOF.
+
+    ``free_chain``/``chain_act_b``/``jump_act_b`` optionally inject the
+    chain-permuted free mask and plan-order bool active masks so callers
+    that already gathered them (the hybrid solve) skip the duplicate
+    ~0.8 ms 1e5-row bool gathers (traced at 309k DOF)."""
     from .tree_jax import tree_factor_fast
     free = model.free_nodes if anchored is None \
         else jnp.logical_and(model.free_nodes, anchored)
-    free_p = free[model.chain.perm]
+    free_p = free[model.chain.perm] if free_chain is None else free_chain
     reg_pc = max(cfg.reg, cfg.tree_reg_rel * model.tree.meta.k_scale)
+    # big levels go through the fused Pallas factorization kernel when
+    # the pallas path is on (interpret mode keeps CPU tests honest);
+    # compiled Mosaic is f32-only, so f64-on-TPU stays on the XLA path
+    on_cpu = jax.default_backend() == "cpu"
     factor = tree_factor_fast(model.tree, model.tree_fast, model.chain,
                               active, free, free_p,
                               jnp.asarray(reg_pc, model.coords.dtype),
-                              model.conn)
+                              model.conn,
+                              use_kernel=cfg.use_pallas
+                              and (cfg.dtype == "float32" or on_cpu),
+                              interpret=on_cpu,
+                              chain_act_b=chain_act_b,
+                              jump_act_b=jump_act_b)
     if cfg.tree_coarse_weight > 0.0 and model.chain is not None:
         # the cluster-coarse operator shares the factor's (active, free)
         # invariants: bundle its dense inverse so solves/ramps reuse it

@@ -116,6 +116,12 @@ class TreeFactor(NamedTuple):
     att_b: jnp.ndarray        # (P_pcr, 2, 3, 3) attachment couplings B[j,s]
     sinv: jnp.ndarray = None  # (3*Sd, 3*Sd) dense tail inverse (None when
                               # the tail is empty)
+    packed: tuple = ()        # per-level (al, be, dinv) in the Pallas
+                              # apply kernel's halo-padded packed layout
+                              # (None for levels factored in XLA) — set by
+                              # tree_factor_fast's kernel branch so
+                              # tree_apply_chain_planes streams the PCR
+                              # apply as one launch per level
     coarse_ainv: jnp.ndarray = None  # optional cached cluster-coarse dense
                               # inverse (solve._coarse_chain_fn): it shares
                               # the factor's (active, free) invariants, and
@@ -390,7 +396,7 @@ def _pcr_apply(alphas, betas, dinv, r):
     return _p_mv(d, r)
 
 
-def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, k_pad, fill_B):
+def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, ke, fill_B):
     """Dense inverse of the tail levels' junction-Schur system.
 
     After the PCR levels eliminated slots [0, t0), the remaining system on
@@ -413,7 +419,7 @@ def _dense_tail_factor(plan: TreePlan, D_tail, dacc_tail, k_pad, fill_B):
     dtype = D_tail[0].dtype
     M = jnp.zeros((3 * Sd, 3 * Sd), dtype)
     ar = jnp.arange(Sd, dtype=jnp.int32)
-    ke = k_pad[plan.dense_eid]                    # (Ed,3,3) — tiny
+    # ke: (Ed,3,3) couplings at the dense-tail element ids — tiny
     p_pcr = meta.path_offsets[n_pcr_levels(meta)]
     if p_pcr:
         tgt = plan.att_tgt[:p_pcr]
@@ -458,6 +464,11 @@ def _dense_tail_apply(factor: TreeFactor, r_tail):
 class FastMeta:
     """Static flags of the fast factorization (hashable jit-cache key)."""
     level_left_fill: tuple    # per level: has KIND_FILL left edges
+    left_is_chain_shift: bool = False   # host-verified: the left edge of
+                              # slot s is chain edge s-1 for every
+                              # KIND_ELEM slot (unified order), so the
+                              # left-edge active gather is a shift of the
+                              # plan-order chain mask
 
 
 class FastFactorData(NamedTuple):
@@ -482,23 +493,47 @@ class FastFactorData(NamedTuple):
 
 def chain_tree_diag(plan: TreePlan, fast: FastFactorData, cplan,
                     active: jnp.ndarray, free_chain: jnp.ndarray,
-                    reg) -> jnp.ndarray:
+                    reg, chain_act_b=None, jump_act_b=None) -> jnp.ndarray:
     """(9, N) component planes of the tree-PC diagonal in CHAIN order,
     scatter/gather-free up to bool gathers and a 2J-row jump scatter.
-    Rows >= n_slots (grips) and anchored-pinned rows are identity."""
+    Rows >= n_slots (grips) and anchored-pinned rows are identity.
+
+    ``chain_act_b``/``jump_act_b`` optionally inject the bool plan-order
+    active masks (chain.plan_active_masks_bool) so callers that already
+    gathered them (the hybrid solve does, for the matvec) don't pay the
+    ~0.8 ms 1e5-row bool gather twice."""
     dtype = plan.k3.dtype
     zero1 = jnp.zeros((1,), dtype)
-    act_pad = jnp.concatenate([active.astype(bool),
-                               jnp.zeros((1,), bool)])
-    m_c = (act_pad[cplan.chain_elem] & fast.chain_tree).astype(dtype)
+    if chain_act_b is None or jump_act_b is None:
+        act_pad = jnp.concatenate([active.astype(bool),
+                                   jnp.zeros((1,), bool)])
+        chain_act_b = act_pad[cplan.chain_elem]
+        jump_act_b = act_pad[cplan.jump_elem]
+    m_c = (chain_act_b & fast.chain_tree).astype(dtype)
     nc = [cplan.chain_n[:, k] for k in range(3)]
     kd_c = (cplan.chain_kax - cplan.chain_kbd) * m_c
     kb_c = cplan.chain_kbd * m_c
-    m_j = (act_pad[cplan.jump_elem] & fast.jump_tree).astype(dtype)
+    m_j = (jump_act_b & fast.jump_tree).astype(dtype)
     njp = [cplan.jump_n[:, k] for k in range(3)]
     kd_j = (cplan.jump_kax - cplan.jump_kbd) * m_j
     kb_j = cplan.jump_kbd * m_j
     regp = jnp.asarray(reg, dtype)
+    # jump edges: ONE batched scatter over all 9 planes x both endpoints
+    # (18 per-plane scatters serialized to ~7.8 ms of the 10 ms factor at
+    # 309k DOF — measured; the batched (9, 2J) scatter is one op)
+    n_chain = free_chain.shape[0]
+    kj = []
+    for i in range(3):
+        for j in range(3):
+            k3j = njp[i] * njp[j] * kd_j
+            if i == j:
+                k3j = k3j + kb_j
+            kj.append(k3j)
+    kj = jnp.stack(kj)                                   # (9, J)
+    jidx = jnp.concatenate([fast.ja, fast.jb])
+    jump = (jnp.zeros((9, n_chain), dtype)
+            .at[:, jidx].add(jnp.concatenate([kj, kj], axis=1),
+                             mode="drop"))
     planes = []
     for i in range(3):
         for j in range(3):
@@ -510,12 +545,7 @@ def chain_tree_diag(plan: TreePlan, fast: FastFactorData, cplan,
                 k3c = k3c + kb_c
             # chain edge i connects positions i and i+1: both ends get it
             p = k3c + jnp.concatenate([zero1, k3c[:-1]])
-            # jump edges (few thousand rows — the only scatter left)
-            k3j = njp[i] * njp[j] * kd_j
-            if i == j:
-                k3j = k3j + kb_j
-            p = p.at[fast.ja].add(k3j, mode="drop")
-            p = p.at[fast.jb].add(k3j, mode="drop")
+            p = p + jump[3 * i + j]
             if i == j:
                 p = p + regp
                 p = jnp.where(free_chain, p, 1.0)
@@ -528,11 +558,20 @@ def chain_tree_diag(plan: TreePlan, fast: FastFactorData, cplan,
 def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
                      active: jnp.ndarray, free_now: jnp.ndarray,
                      free_chain: jnp.ndarray, reg,
-                     conn: jnp.ndarray) -> TreeFactor:
+                     conn: jnp.ndarray, use_kernel: bool = False,
+                     kernel_min_slots: int = 4096,
+                     interpret: bool = False,
+                     chain_act_b=None, jump_act_b=None) -> TreeFactor:
     """tree_factor without N/S-row f32 gathers or scatters (unified
     ordering only). Numerically identical to tree_factor — tested
     elementwise against it. All big-axis block algebra runs on (S,)
-    component planes (see the plane-algebra section above)."""
+    component planes (see the plane-algebra section above).
+
+    ``use_kernel`` routes levels with >= ``kernel_min_slots`` slots
+    through the fused Pallas factorization kernel (pallas_factor.py):
+    one launch computes the PCR coefficients, final block inverses, AND
+    the 6-column corner solve — the XLA version's ~500-op dispatch tail
+    was ~12 ms of the 309k-DOF cold solve."""
     meta = plan.meta
     k3 = plan.k3
     S_tot = plan.n_slots
@@ -540,22 +579,42 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     dtype = k3.dtype
 
     D_g = chain_tree_diag(plan, fast, cplan, active, free_chain,
-                          reg)[:, :S_tot]                # (9, S)
+                          reg, chain_act_b, jump_act_b)[:, :S_tot]  # (9,S)
 
-    # left-edge element couplings: static k3 table * active * both-free
+    # left-edge element couplings: static k3 table * active * both-free.
+    # Under the unified order the left edge of slot s IS chain edge s-1
+    # (verified on the host at model build: FastMeta.left_is_chain_shift),
+    # so when the caller provides the plan-order mask the (S,)-row bool
+    # gather becomes a shift + static mask.
     act_pad = jnp.concatenate([active.astype(bool),
                                jnp.zeros((1,), bool)])
-    la = act_pad[plan.left_elem]                         # (S,) bool
+    if chain_act_b is not None and fast.meta.left_is_chain_shift:
+        la = jnp.concatenate([jnp.zeros((1,), bool),
+                              chain_act_b[:S_tot - 1]]) \
+            & (plan.left_elem < conn.shape[0])
+    else:
+        la = act_pad[plan.left_elem]                     # (S,) bool
     fprev = jnp.concatenate([jnp.zeros((1,), bool), free_chain[:S_tot][:-1]])
     lmask = (la & free_chain[:S_tot] & fprev).astype(dtype)
     B_elem = tuple(-fast.left_k3[c] * lmask for c in range(9))
 
-    # attachment couplings stay on the (small) path axis
-    m_couple = (active & plan.tree_edge
-                & free_now[conn[:, 0]] & free_now[conn[:, 1]]
-                & (conn[:, 0] != conn[:, 1]))
-    k_pad = jnp.concatenate(
-        [-k3 * m_couple[:, None, None], jnp.zeros((1, 3, 3), dtype)])
+    # attachment couplings stay on the (small) path axis: the coupling
+    # mask is evaluated ONLY at the attachment/dense-tail element ids
+    # (P- and Ed-row gathers) — the old full-E m_couple needed two
+    # E-row free_now[conn] bool gathers (~1.6 ms on-device at 309k DOF)
+    conn_pad = jnp.concatenate([conn, jnp.zeros((1, 2), conn.dtype)])
+    tree_pad = jnp.concatenate([plan.tree_edge, jnp.zeros((1,), bool)])
+    free_pad = jnp.concatenate([free_now, jnp.zeros((1,), bool)])
+    k3_pad = jnp.concatenate([k3, jnp.zeros((1, 3, 3), dtype)])
+
+    def k_att(idx):
+        flat = idx.reshape(-1)
+        c = conn_pad[flat]
+        m = (act_pad[flat] & tree_pad[flat]
+             & free_pad[c[:, 0]] & free_pad[c[:, 1]]
+             & (c[:, 0] != c[:, 1]))
+        out = -k3_pad[flat] * m[:, None, None].astype(dtype)
+        return out.reshape(idx.shape + (3, 3))
 
     fill_B = jnp.zeros((P_tot + 1, 9), dtype)            # row-major comps
     dacc = jnp.zeros((9, S_tot + 1), dtype)
@@ -563,6 +622,7 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     alphas, betas = [], []
     dinv_parts = []
     attb_parts = []
+    packed_parts = []
     FLIP = (0, 3, 6, 1, 4, 7, 2, 5, 8)                   # transpose order
     L = n_pcr_levels(meta)
     for li in range(L):
@@ -576,29 +636,52 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
             flip = plan.left_fill_flip[s0:s1]
             B_l = tuple(B_l[c] + jnp.where(flip, bf[:, FLIP[c]], bf[:, c])
                         for c in range(9))
-        al, be, dinv = _pcr_coeffs(D_l, B_l, meta.level_steps[li])
-        alphas.append(al)
-        betas.append(be)
-        dinv_parts.append(jnp.stack(dinv))
 
         fg = plan.first_gpos[p0:p1] - s0
         lg = plan.last_gpos[p0:p1] - s0
-        ab = k_pad[plan.att_elem[p0:p1]] \
+        ab = k_att(plan.att_elem[p0:p1]) \
             + fill_B[plan.att_fill[p0:p1]].reshape(-1, 2, 3, 3)
         ab = jnp.where(plan.att_flip[p0:p1, :, None, None],
                        jnp.swapaxes(ab, -1, -2), ab)
         attb_parts.append(ab)
 
-        # corner blocks of T^{-1}: one 6-column PCR solve (unit blocks at
-        # every first slot -> cols 0:3, every last slot -> cols 3:6)
         S_l = s1 - s0
-        rhs = tuple(jnp.zeros((S_l, 6), dtype)
-                    .at[fg, i].add(1.0).at[lg, 3 + i].add(1.0)
-                    for i in range(3))
-        X = _pcr_apply(al, be, dinv, rhs)                # tuple3 (S_l, 6)
-        Mff = jnp.stack([X[i][fg][:, 0:3] for i in range(3)], axis=1)
-        Mll = jnp.stack([X[i][lg][:, 3:6] for i in range(3)], axis=1)
-        Mfl = jnp.stack([X[i][fg][:, 3:6] for i in range(3)], axis=1)
+        steps_l = meta.level_steps[li]
+        if use_kernel and steps_l > 0 and S_l >= kernel_min_slots:
+            # fused kernel: PCR coefficients + corner solve in one launch
+            from .pallas_factor import pcr_level_kernel
+            al, be, dinv, xc, pk = pcr_level_kernel(D_l, B_l, fg, lg,
+                                                    steps_l,
+                                                    interpret=interpret)
+            packed_parts.append(pk)
+            alphas.append(al)
+            betas.append(be)
+            dinv_parts.append(jnp.stack(dinv))
+            Mff = jnp.stack([jnp.stack([xc[6 * i + j][fg]
+                                        for j in range(3)], axis=1)
+                             for i in range(3)], axis=1)
+            Mll = jnp.stack([jnp.stack([xc[6 * i + 3 + j][lg]
+                                        for j in range(3)], axis=1)
+                             for i in range(3)], axis=1)
+            Mfl = jnp.stack([jnp.stack([xc[6 * i + 3 + j][fg]
+                                        for j in range(3)], axis=1)
+                             for i in range(3)], axis=1)
+        else:
+            packed_parts.append(None)
+            al, be, dinv = _pcr_coeffs(D_l, B_l, steps_l)
+            alphas.append(al)
+            betas.append(be)
+            dinv_parts.append(jnp.stack(dinv))
+
+            # corner blocks of T^{-1}: one 6-column PCR solve (unit
+            # blocks at every first slot -> cols 0:3, last -> cols 3:6)
+            rhs = tuple(jnp.zeros((S_l, 6), dtype)
+                        .at[fg, i].add(1.0).at[lg, 3 + i].add(1.0)
+                        for i in range(3))
+            X = _pcr_apply(al, be, dinv, rhs)            # tuple3 (S_l, 6)
+            Mff = jnp.stack([X[i][fg][:, 0:3] for i in range(3)], axis=1)
+            Mll = jnp.stack([X[i][lg][:, 3:6] for i in range(3)], axis=1)
+            Mfl = jnp.stack([X[i][fg][:, 3:6] for i in range(3)], axis=1)
         bl, br = ab[:, 0], ab[:, 1]
         dg_l = -_mm(_mm(bl, Mff), jnp.swapaxes(bl, -1, -2))
         dg_r = -_mm(_mm(br, Mll), jnp.swapaxes(br, -1, -2))
@@ -618,10 +701,12 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     t0 = meta.level_offsets[L]
     sinv = (_dense_tail_factor(
                 plan, tuple(D_g[c, t0:S_tot] for c in range(9)),
-                tuple(dacc[c, t0:S_tot] for c in range(9)), k_pad, fill_B)
+                tuple(dacc[c, t0:S_tot] for c in range(9)),
+                k_att(plan.dense_eid), fill_B)
             if S_tot > t0 else None)
     return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
-                      dinv=dinv_all, att_b=attb_all, sinv=sinv)
+                      dinv=dinv_all, att_b=attb_all, sinv=sinv,
+                      packed=tuple(packed_parts))
 
 
 def tree_apply_chain(plan: TreePlan, factor: TreeFactor,
@@ -649,13 +734,24 @@ def tree_apply_chain_planes(plan: TreePlan, factor: TreeFactor, rp
     zero1 = jnp.zeros((1,), dtype)
     racc = tuple(jnp.concatenate([p[:S_tot], zero1]) for p in rp)
 
+    packed = getattr(factor, "packed", ())
+
+    def _lvl_apply(li, s0, s1, r3):
+        # levels factored by the Pallas kernel apply through the chunked
+        # apply kernel (one launch); the XLA plane apply otherwise
+        if li < len(packed) and packed[li] is not None:
+            from .pallas_factor import pcr_apply_planes_kernel
+            return pcr_apply_planes_kernel(
+                packed[li], r3, meta.level_steps[li], s1 - s0,
+                interpret=jax.default_backend() == "cpu")
+        return _pcr_apply(factor.alphas[li], factor.betas[li],
+                          factor.dinv[:, s0:s1], r3)
+
     ys = []
     for li in range(L):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
-        y = _pcr_apply(factor.alphas[li], factor.betas[li],
-                       factor.dinv[:, s0:s1],
-                       tuple(p[s0:s1] for p in racc))
+        y = _lvl_apply(li, s0, s1, tuple(p[s0:s1] for p in racc))
         ys.append(y)
         ab = factor.att_b[p0:p1]
         fg = plan.first_gpos[p0:p1] - s0
@@ -688,8 +784,7 @@ def tree_apply_chain_planes(plan: TreePlan, factor: TreeFactor, rp
         z = tuple(jnp.zeros((s1 - s0,), dtype)
                   .at[fg].add(z0[:, i]).at[lg].add(z1[:, i])
                   for i in range(3))
-        corr = _pcr_apply(factor.alphas[li], factor.betas[li],
-                          factor.dinv[:, s0:s1], z)
+        corr = _lvl_apply(li, s0, s1, z)
         u_all = tuple(u_all[i].at[s0:s1].set(ys[li][i] - corr[i])
                       for i in range(3))
     return tuple(u_all[i][:S_tot] for i in range(3))
@@ -790,7 +885,8 @@ def tree_factor(plan: TreePlan, active: jnp.ndarray,
     P_tot = plan.n_paths
     sinv = (_dense_tail_factor(plan, _split9(D_g[t0:S_tot]),
                                _split9(dacc[t0:S_tot]),
-                               k_pad, fill_B.reshape(P_tot + 1, 9))
+                               k_pad[plan.dense_eid],
+                               fill_B.reshape(P_tot + 1, 9))
             if S_tot > t0 else None)
     return TreeFactor(alphas=tuple(alphas), betas=tuple(betas),
                       dinv=dinv_all, att_b=attb_all, sinv=sinv)

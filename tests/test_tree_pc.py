@@ -404,3 +404,60 @@ def test_native_peel_matches_python_grip_bands():
         for f in la._fields:
             assert np.array_equal(np.asarray(getattr(la, f)),
                                   np.asarray(getattr(lb, f))), f
+
+
+@pytest.mark.parametrize("seed,frac", [(11, 0.0), (12, 0.08)])
+def test_factor_kernel_matches_xla(seed, frac):
+    import jax as _jax
+
+    def _leaves(x):
+        return _jax.tree_util.tree_leaves(x)
+
+    """The fused Pallas factorization kernel (pallas_factor.py) must
+    reproduce tree_factor_fast's XLA plane algebra exactly: same PCR
+    coefficients, block inverses, corner-solve Schur flow, and dense
+    tail. kernel_min_slots=1 forces EVERY level through the kernel
+    (multi-chunk on level 0 via the small CHUNK_ROWS window), exercising
+    the halo/wraparound argument on a real schedule."""
+    coords, conn = random_forest_mesh(n_nodes=900, n_extra=18, seed=seed)
+    cfg = FeaConfig(dtype="float64", operator="chain", use_pallas=False,
+                    grip_length=0.08, precond="tree")
+    model = build_model(coords, conn, cfg)
+    N = model.n_nodes
+    rng = np.random.default_rng(seed)
+    free0 = ~(np.asarray(model.top_nodes) | np.asarray(model.bot_nodes))
+    active = jnp.asarray(rng.random(model.n_elems) > frac)
+    free_j = jnp.asarray(free0)
+    free_chain = free_j[model.chain.perm]
+    reg = jnp.asarray(1e-9)
+    f_xla = trj.tree_factor_fast(model.tree, model.tree_fast, model.chain,
+                                 active, free_j, free_chain, reg,
+                                 model.conn)
+    f_ker = trj.tree_factor_fast(model.tree, model.tree_fast, model.chain,
+                                 active, free_j, free_chain, reg,
+                                 model.conn, use_kernel=True,
+                                 kernel_min_slots=1, interpret=True)
+    # the two programs fuse/FMA-contract differently; ulp noise amplifies
+    # through the 8-round recurrence (measured max rel 2.4e-9 in f64) and
+    # the dense-tail jnp.linalg.inv amplifies it further under fracture
+    # (measured 7e-5) — so sinv gets a looser, still bug-catching bar
+    for name in ("alphas", "betas", "att_b"):
+        for a, b in zip(_leaves(getattr(f_xla, name)),
+                        _leaves(getattr(f_ker, name))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-7, atol=1e-13,
+                                       err_msg=name)
+    # dinv rows of fracture-isolated (reg-only) blocks and the dense
+    # tail inverse are the noise amplifiers (measured rel ~7e-5)
+    for name in ("dinv", "sinv"):
+        np.testing.assert_allclose(np.asarray(getattr(f_xla, name)),
+                                   np.asarray(getattr(f_ker, name)),
+                                   rtol=1e-3, atol=1e-9, err_msg=name)
+    # and the apply built on the kernel factor matches
+    r = rng.standard_normal((N, 3))
+    perm = np.asarray(model.chain.perm)
+    za = np.asarray(trj.tree_apply_chain(model.tree, f_xla,
+                                         jnp.asarray(r[perm])))
+    zb = np.asarray(trj.tree_apply_chain(model.tree, f_ker,
+                                         jnp.asarray(r[perm])))
+    np.testing.assert_allclose(zb, za, rtol=1e-3, atol=1e-9)
