@@ -217,9 +217,13 @@ def build_model(coords: np.ndarray, conn: np.ndarray,
             # from the plan-order chain mask by a shift (no S-row gather)
             ce_h = np.asarray(chain_host["chain_elem"])
             ile = np.nonzero(is_le)[0]
+            # intended fallback for any slot<->chain-position violation is
+            # shift_ok=False, so bound-check BOTH ends before indexing
+            # (an out-of-range slot would otherwise IndexError the build)
             shift_ok = bool(
-                (len(ile) == 0 or ile[0] > 0)
-                and np.array_equal(lid[ile], ce_h[ile - 1]))
+                len(ile) == 0
+                or (ile[0] > 0 and ile[-1] - 1 < len(ce_h)
+                    and np.array_equal(lid[ile], ce_h[ile - 1])))
             tree_fast = FastFactorData(
                 chain_tree=jnp.asarray(
                     tree_pad[chain_host["chain_elem"]]),

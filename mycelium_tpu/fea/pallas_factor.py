@@ -155,9 +155,11 @@ def _factor_kernel(steps, cb, wb, halo,
 
 def halo_rows(steps: int) -> int:
     """Halo row count covering the PCR dependence distance 2^steps - 1,
-    rounded to a sublane multiple so roll axes stay 8-aligned."""
+    rounded up to a multiple of 8 so the rolled window axis
+    wb = chunk_rows + 2*halo stays sublane-aligned whenever chunk_rows
+    itself is a multiple of 8 (the default CHUNK_ROWS=128 is)."""
     halo_pos = max((1 << steps) - 1, 1)
-    return -(-(-(-halo_pos // BLOCK)) // 4) * 4
+    return -(-(-(-halo_pos // BLOCK)) // 8) * 8
 
 
 def _pack_padded(planes, nb_pad, halo, S):
@@ -167,20 +169,27 @@ def _pack_padded(planes, nb_pad, halo, S):
     return jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
 
 
-def pcr_level_kernel(D, B, fg, lg, steps: int, interpret: bool = False):
+def pcr_level_kernel(D, B, fg, lg, steps: int, interpret: bool = False,
+                     chunk_rows: int | None = None):
     """One PCR level, fused: coefficients + final block inverses + the
     6-column corner solve. D, B: tuple9 of (S,) planes. fg/lg: (P,) int32
     first/last slot of each path (level-local). Returns
-    (alphas (steps,9,S), betas (steps,9,S), dinv tuple9 of (S,),
+    (dinv tuple9 of (S,),
     xcols tuple18 of (S,) — plane 6*i+j is component i of corner column j,
     ordered [first x/y/z, last x/y/z],
-    packed — (al, be, dinv) in the packed (steps, 9, rows, 128) layout the apply
-    kernel streams per chunk, kept on the TreeFactor so per-iteration
-    applies skip the repack)."""
+    packed — (al, be, dinv) in the packed (steps, 9, rows, 128) layout the
+    apply kernel streams per round, kept on the TreeFactor so per-iteration
+    applies skip the repack; the unpacked (steps, 9, S) coefficient views
+    are derived on demand via unpack_coeffs — storing both roughly doubled
+    the factor's coefficient HBM footprint at 309k DOF).
+
+    ``chunk_rows`` overrides the central-rows-per-program window (module
+    default CHUNK_ROWS); tests force small windows so the multi-chunk
+    halo/DMA path runs on small meshes."""
     S = D[0].shape[0]
     dtype = D[0].dtype
     halo = halo_rows(steps)
-    cb = CHUNK_ROWS
+    cb = CHUNK_ROWS if chunk_rows is None else chunk_rows
     nb = -(-S // BLOCK)
     nb_pad = -(-nb // cb) * cb
     wb = cb + 2 * halo
@@ -236,11 +245,32 @@ def pcr_level_kernel(D, B, fg, lg, steps: int, interpret: bool = False):
     )(d_in, b_in, r_in)
 
     packed = (al, be, dinv)
-    al = al.reshape(steps, 9, nb_pad * BLOCK)[:, :, :S]
-    be = be.reshape(steps, 9, nb_pad * BLOCK)[:, :, :S]
     dinv = tuple(dinv[c].reshape(-1)[:S] for c in range(9))
     x = tuple(x[c].reshape(-1)[:S] for c in range(18))
-    return al, be, dinv, x, packed
+    return dinv, x, packed
+
+
+def unpack_coeffs(packed, steps: int, S: int):
+    """Derive the unpacked (steps, 9, S) alpha/beta views from a kernel
+    level's packed layout (reshape + slice — no extra HBM copy unless the
+    caller materializes them)."""
+    al_p, be_p, _ = packed
+    al = al_p.reshape(steps, 9, -1)[:, :, :S]
+    be = be_p.reshape(steps, 9, -1)[:, :, :S]
+    return al, be
+
+
+def apply_kernel_vmem_bytes(S: int, itemsize: int = 4,
+                            chunk_rows: int | None = None) -> int:
+    """VMEM footprint of pcr_apply_planes_kernel at level size S: two
+    (9, nb_pad, 128) coefficient scratch slabs + the (3, nb_pad, 128)
+    residual/solution planes, all whole-level resident. Callers gate
+    use_kernel on this against cfg.pallas_vmem_limit_mb — past ~1.2M
+    slots per level the 112 MB compiler limit is a hard cliff."""
+    cb = CHUNK_ROWS if chunk_rows is None else chunk_rows
+    nb = -(-S // BLOCK)
+    nb_pad = -(-nb // cb) * cb
+    return (2 * 9 + 3 + 3) * nb_pad * BLOCK * itemsize
 
 
 def _apply_kernel(steps,

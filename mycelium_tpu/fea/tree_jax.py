@@ -561,7 +561,9 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
                      conn: jnp.ndarray, use_kernel: bool = False,
                      kernel_min_slots: int = 4096,
                      interpret: bool = False,
-                     chain_act_b=None, jump_act_b=None) -> TreeFactor:
+                     chain_act_b=None, jump_act_b=None,
+                     kernel_vmem_limit_bytes: int = 112 * 2 ** 20
+                     ) -> TreeFactor:
     """tree_factor without N/S-row f32 gathers or scatters (unified
     ordering only). Numerically identical to tree_factor — tested
     elementwise against it. All big-axis block algebra runs on (S,)
@@ -571,7 +573,12 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     through the fused Pallas factorization kernel (pallas_factor.py):
     one launch computes the PCR coefficients, final block inverses, AND
     the 6-column corner solve — the XLA version's ~500-op dispatch tail
-    was ~12 ms of the 309k-DOF cold solve."""
+    was ~12 ms of the 309k-DOF cold solve. Levels whose APPLY-kernel
+    VMEM footprint (pallas_factor.apply_kernel_vmem_bytes — whole-level
+    coefficient slabs) exceeds ``kernel_vmem_limit_bytes`` stay on the
+    XLA path instead of hitting the Mosaic compile cliff (~1.2M slots
+    at the 112 MB default)."""
+    from .pallas_factor import apply_kernel_vmem_bytes
     meta = plan.meta
     k3 = plan.k3
     S_tot = plan.n_slots
@@ -647,15 +654,23 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
 
         S_l = s1 - s0
         steps_l = meta.level_steps[li]
-        if use_kernel and steps_l > 0 and S_l >= kernel_min_slots:
-            # fused kernel: PCR coefficients + corner solve in one launch
+        if use_kernel and steps_l > 0 and S_l >= kernel_min_slots \
+                and apply_kernel_vmem_bytes(S_l, jnp.dtype(dtype).itemsize) \
+                <= kernel_vmem_limit_bytes:
+            # fused kernel: PCR coefficients + corner solve in one launch.
+            # The apply kernel holds the whole level's coefficient slabs in
+            # VMEM, so levels past the gate fall back to the XLA factor
+            # (the factor kernel itself is chunked and size-independent).
             from .pallas_factor import pcr_level_kernel
-            al, be, dinv, xc, pk = pcr_level_kernel(D_l, B_l, fg, lg,
-                                                    steps_l,
-                                                    interpret=interpret)
+            dinv, xc, pk = pcr_level_kernel(D_l, B_l, fg, lg, steps_l,
+                                            interpret=interpret)
             packed_parts.append(pk)
-            alphas.append(al)
-            betas.append(be)
+            # unpacked coefficient views are derived from the packed
+            # layout on demand (pallas_factor.unpack_coeffs) — storing
+            # both doubled the coefficient HBM footprint, and ramp
+            # drivers cache the factor across steps
+            alphas.append(None)
+            betas.append(None)
             dinv_parts.append(jnp.stack(dinv))
             Mff = jnp.stack([jnp.stack([xc[6 * i + j][fg]
                                         for j in range(3)], axis=1)

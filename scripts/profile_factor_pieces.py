@@ -110,7 +110,7 @@ def main(n_target=103000):
 
     def ker():
         j = state.get("k", jnp.zeros((), jnp.float32)) * 1e-30
-        al, be, dv, xc, _pk = jk(tuple(p + j for p in D0), B0, fg0, lg0)
+        dv, xc, _pk = jk(tuple(p + j for p in D0), B0, fg0, lg0)
         state["k"] = dv[0][0]
 
     ms = timeit(ker, lambda: np.asarray(state["k"]))

@@ -406,19 +406,30 @@ def test_native_peel_matches_python_grip_bands():
                                   np.asarray(getattr(lb, f))), f
 
 
-@pytest.mark.parametrize("seed,frac", [(11, 0.0), (12, 0.08)])
-def test_factor_kernel_matches_xla(seed, frac):
+@pytest.mark.parametrize("seed,frac,chunk_rows",
+                         [(11, 0.0, None), (12, 0.08, None),
+                          (11, 0.0, 4), (12, 0.08, 4)])
+def test_factor_kernel_matches_xla(seed, frac, chunk_rows, monkeypatch):
+    """The fused Pallas factorization kernel (pallas_factor.py) must
+    reproduce tree_factor_fast's XLA plane algebra exactly: same PCR
+    coefficients, block inverses, corner-solve Schur flow, and dense
+    tail. kernel_min_slots=1 forces EVERY level through the kernel.
+
+    ``chunk_rows=4`` shrinks the per-program window so the 900-node
+    mesh's whale level splits into MULTIPLE chunks (the default
+    CHUNK_ROWS=128 packs 16,384 positions per chunk — every level fits
+    one chunk and the chunked-window DMA slicing, halo sizing, and
+    in-window roll-wraparound annihilation never execute; they DO run
+    at 309k DOF on hardware, so CI must cover them)."""
     import jax as _jax
+
+    import mycelium_tpu.fea.pallas_factor as pf
 
     def _leaves(x):
         return _jax.tree_util.tree_leaves(x)
 
-    """The fused Pallas factorization kernel (pallas_factor.py) must
-    reproduce tree_factor_fast's XLA plane algebra exactly: same PCR
-    coefficients, block inverses, corner-solve Schur flow, and dense
-    tail. kernel_min_slots=1 forces EVERY level through the kernel
-    (multi-chunk on level 0 via the small CHUNK_ROWS window), exercising
-    the halo/wraparound argument on a real schedule."""
+    if chunk_rows is not None:
+        monkeypatch.setattr(pf, "CHUNK_ROWS", chunk_rows)
     coords, conn = random_forest_mesh(n_nodes=900, n_extra=18, seed=seed)
     cfg = FeaConfig(dtype="float64", operator="chain", use_pallas=False,
                     grip_length=0.08, precond="tree")
@@ -437,13 +448,34 @@ def test_factor_kernel_matches_xla(seed, frac):
                                  active, free_j, free_chain, reg,
                                  model.conn, use_kernel=True,
                                  kernel_min_slots=1, interpret=True)
+    # every level with steps > 0 must have gone through the kernel, and
+    # with chunk_rows=4 the whale level must have split into >= 2 chunks
+    meta = model.tree.meta
+    assert any(p is not None for p in f_ker.packed)
+    if chunk_rows is not None:
+        nb0 = -(-(meta.level_offsets[1] - meta.level_offsets[0]) // 128)
+        assert -(-nb0 // chunk_rows) >= 2, "whale level fits one chunk"
+    # kernel-factored levels carry only the packed coefficient layout
+    # (unpacked views are derived, not stored — ADVICE r3); reconstruct
+    # them for the element-wise comparison
+    ker_al, ker_be = [], []
+    for li, pk in enumerate(f_ker.packed):
+        s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
+        if pk is None:
+            ker_al.append(f_ker.alphas[li])
+            ker_be.append(f_ker.betas[li])
+        else:
+            assert f_ker.alphas[li] is None and f_ker.betas[li] is None
+            al, be = pf.unpack_coeffs(pk, meta.level_steps[li], s1 - s0)
+            ker_al.append(al)
+            ker_be.append(be)
     # the two programs fuse/FMA-contract differently; ulp noise amplifies
     # through the 8-round recurrence (measured max rel 2.4e-9 in f64) and
     # the dense-tail jnp.linalg.inv amplifies it further under fracture
     # (measured 7e-5) — so sinv gets a looser, still bug-catching bar
-    for name in ("alphas", "betas", "att_b"):
-        for a, b in zip(_leaves(getattr(f_xla, name)),
-                        _leaves(getattr(f_ker, name))):
+    for name, kv in (("alphas", ker_al), ("betas", ker_be),
+                     ("att_b", getattr(f_ker, "att_b"))):
+        for a, b in zip(_leaves(getattr(f_xla, name)), _leaves(kv)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-7, atol=1e-13,
                                        err_msg=name)
