@@ -262,15 +262,23 @@ def unpack_coeffs(packed, steps: int, S: int):
 
 def apply_kernel_vmem_bytes(S: int, itemsize: int = 4,
                             chunk_rows: int | None = None) -> int:
-    """VMEM footprint of pcr_apply_planes_kernel at level size S: two
-    (9, nb_pad, 128) coefficient scratch slabs + the (3, nb_pad, 128)
-    residual/solution planes, all whole-level resident. Callers gate
-    use_kernel on this against cfg.pallas_vmem_limit_mb — past ~1.2M
-    slots per level the 112 MB compiler limit is a hard cliff."""
+    """VMEM footprint of the WHOLE-LEVEL pcr_apply_planes_kernel at level
+    size S. Counts 36 plane-sized slabs: two (9, nb_pad, 128) coefficient
+    scratches + residual/shift/update/solution temporaries and Mosaic
+    stack slack — calibrated against a measured compile failure at
+    860k slots (122.4 MB scoped = ~35.2 planes; the old 24-plane estimate
+    passed the gate and hit the cliff). Levels past APPLY_WHOLE_LIMIT
+    dispatch to the chunked-window apply kernel instead (VMEM O(window),
+    any level size)."""
     cb = CHUNK_ROWS if chunk_rows is None else chunk_rows
     nb = -(-S // BLOCK)
     nb_pad = -(-nb // cb) * cb
-    return (2 * 9 + 3 + 3) * nb_pad * BLOCK * itemsize
+    return 36 * nb_pad * BLOCK * itemsize
+
+
+# whole-level apply past this footprint switches to the chunked kernel
+# (kept under the 112 MB Mosaic scoped-vmem ceiling with headroom)
+APPLY_WHOLE_LIMIT = 100 * 2 ** 20
 
 
 def _apply_kernel(steps,
@@ -313,18 +321,107 @@ def _apply_kernel(steps,
          for i in range(3)])
 
 
+def _apply_kernel_chunked(steps, cb, wb, halo, nb_pad,
+                          al_hbm, be_hbm, dv_hbm, r_hbm,
+                          u_ref, ascr, bscr, rscr, sems):
+    """Chunked-window PCR apply: each program owns cb central rows, DMAs
+    a (wb = cb + 2*halo)-row window of the residual once and of the
+    coefficient slabs per round — VMEM stays O(window) at any level size
+    (the whole-level variant's two full coefficient slabs bust the 112 MB
+    Mosaic ceiling past ~700k slots; measured at 860k). Windows at the
+    level ends are CLAMPED into [0, nb_pad) instead of zero-padded: the
+    central region's dependencies stay in-window by the halo argument,
+    and roll wraparound is annihilated by the zero coefficients at path
+    boundaries (exactly the factor kernel's invariant)."""
+    ci = pl.program_id(0)
+    row0 = ci * cb
+    start = jnp.clip(row0 - halo, 0, nb_pad - wb)
+    off = row0 - start                       # in {0..2*halo}, 8-aligned
+    cp_r = pltpu.make_async_copy(
+        r_hbm.at[:, pl.ds(start, wb), :], rscr, sems.at[2])
+    cp_r.start()
+    cp_r.wait()
+    r = rscr[:]                              # (3, wb, 128)
+    s = 1
+    for k in range(steps):
+        cp_a = pltpu.make_async_copy(
+            al_hbm.at[k, :, pl.ds(start, wb), :], ascr, sems.at[0])
+        cp_b = pltpu.make_async_copy(
+            be_hbm.at[k, :, pl.ds(start, wb), :], bscr, sems.at[1])
+        cp_a.start()
+        cp_b.start()
+        rm = _bsh(r, -s)                     # overlaps the DMAs
+        rp_ = _bsh(r, s)
+        cp_a.wait()
+        cp_b.wait()
+        a = ascr[:]
+        b = bscr[:]
+        r = r - jnp.stack(
+            [(a[3 * i] * rm[0] + a[3 * i + 1] * rm[1]
+              + a[3 * i + 2] * rm[2])
+             + (b[3 * i] * rp_[0] + b[3 * i + 1] * rp_[1]
+                + b[3 * i + 2] * rp_[2])
+             for i in range(3)])
+        s *= 2
+    cp_d = pltpu.make_async_copy(
+        dv_hbm.at[:, pl.ds(start, wb), :], ascr, sems.at[0])
+    cp_d.start()
+    cp_d.wait()
+    d = ascr[:]
+    u = jnp.stack(
+        [d[3 * i] * r[0] + d[3 * i + 1] * r[1] + d[3 * i + 2] * r[2]
+         for i in range(3)])
+    z = jnp.asarray(0, jnp.int32)
+    u_ref[:] = lax.dynamic_slice(u, (z, off.astype(jnp.int32), z),
+                                 (3, cb, BLOCK))
+
+
 def pcr_apply_planes_kernel(packed, rp, steps: int, S: int,
                             interpret: bool = False):
-    """x = T^{-1} r on one PCR level in ONE kernel launch.
+    """x = T^{-1} r on one PCR level, one kernel launch.
 
     ``packed`` is the (al, be, dinv) triple pcr_level_kernel returned
     (al/be (steps, 9, nb_pad, 128); dinv (9, nb_pad, 128)). rp: tuple3
     of (S,) planes. Replaces the XLA _pcr_apply whose ~25 plane ops x
-    steps rounds cost ~2.3 ms per CG iteration at 309k DOF."""
+    steps rounds cost ~2.3 ms per CG iteration at 309k DOF. Levels whose
+    whole-level VMEM footprint exceeds APPLY_WHOLE_LIMIT run the
+    chunked-window variant instead (grid over row chunks, coefficient
+    windows streamed per round — any level size)."""
     al_p, be_p, dv_p = packed
     dtype = rp[0].dtype
     nb_pad = dv_p.shape[1]
     r_in = _pack_padded(rp, nb_pad, 0, S)
+
+    halo = halo_rows(steps)
+    cb = CHUNK_ROWS
+    wb = cb + 2 * halo
+    if apply_kernel_vmem_bytes(S, jnp.dtype(dtype).itemsize) \
+            > APPLY_WHOLE_LIMIT and nb_pad >= wb:
+        # clamped windows need the level at least one window tall; any
+        # level big enough to bust the whole-level VMEM budget is (the
+        # nb_pad < wb case only arises in tests that force the limit down)
+        n_chunks = nb_pad // cb
+        kernel = functools.partial(_apply_kernel_chunked, steps, cb, wb,
+                                   halo, nb_pad)
+        anyspec = pl.BlockSpec(memory_space=pl.ANY)
+        u = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=jax.ShapeDtypeStruct((3, nb_pad, BLOCK), dtype),
+            in_specs=[anyspec, anyspec, anyspec, anyspec],
+            out_specs=pl.BlockSpec((3, cb, BLOCK), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((9, wb, BLOCK), dtype),
+                pltpu.VMEM((9, wb, BLOCK), dtype),
+                pltpu.VMEM((3, wb, BLOCK), dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(al_p, be_p, dv_p, r_in)
+        return tuple(u[i].reshape(-1)[:S] for i in range(3))
 
     kernel = functools.partial(_apply_kernel, steps)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)

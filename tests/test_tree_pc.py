@@ -493,3 +493,59 @@ def test_factor_kernel_matches_xla(seed, frac, chunk_rows, monkeypatch):
     zb = np.asarray(trj.tree_apply_chain(model.tree, f_ker,
                                          jnp.asarray(r[perm])))
     np.testing.assert_allclose(zb, za, rtol=1e-3, atol=1e-9)
+
+
+def test_chunked_apply_matches_whole_level(monkeypatch):
+    """The chunked-window PCR apply (pallas_factor._apply_kernel_chunked,
+    the path 860k-slot levels take on hardware where the whole-level
+    coefficient slabs bust VMEM) must match the whole-level kernel and
+    the XLA apply exactly. Forced here by shrinking APPLY_WHOLE_LIMIT to
+    1 byte and CHUNK_ROWS to 4 so a 4k-node mesh splits into multiple
+    clamped windows (first / interior / last chunk offsets all run)."""
+    import jax as _jax
+
+    import mycelium_tpu.fea.pallas_factor as pf
+
+    coords, conn = random_forest_mesh(n_nodes=4000, n_extra=60, seed=3)
+    cfg = FeaConfig(dtype="float64", operator="chain", use_pallas=False,
+                    grip_length=0.08, precond="tree")
+    model = build_model(coords, conn, cfg)
+    N = model.n_nodes
+    rng = np.random.default_rng(3)
+    free0 = ~(np.asarray(model.top_nodes) | np.asarray(model.bot_nodes))
+    active = jnp.asarray(rng.random(model.n_elems) > 0.05)
+    free_j = jnp.asarray(free0)
+    free_chain = free_j[model.chain.perm]
+    reg = jnp.asarray(1e-9)
+
+    monkeypatch.setattr(pf, "CHUNK_ROWS", 4)
+    f_ref = trj.tree_factor_fast(model.tree, model.tree_fast, model.chain,
+                                 active, free_j, free_chain, reg,
+                                 model.conn)
+    f_ker = trj.tree_factor_fast(model.tree, model.tree_fast, model.chain,
+                                 active, free_j, free_chain, reg,
+                                 model.conn, use_kernel=True,
+                                 kernel_min_slots=1, interpret=True)
+    # the whale level must be big enough for >= 2 clamped windows
+    meta = model.tree.meta
+    S0 = meta.level_offsets[1] - meta.level_offsets[0]
+    halo = pf.halo_rows(meta.level_steps[0])
+    nb_pad = -(-(-(-S0 // 128)) // 4) * 4
+    assert nb_pad >= 4 + 2 * halo, "mesh too small for the chunked window"
+    assert nb_pad // 4 >= 2
+
+    r = rng.standard_normal((N, 3))
+    perm = np.asarray(model.chain.perm)
+    za = np.asarray(trj.tree_apply_chain(model.tree, f_ref,
+                                         jnp.asarray(r[perm])))
+    zb = np.asarray(trj.tree_apply_chain(model.tree, f_ker,
+                                         jnp.asarray(r[perm])))
+
+    monkeypatch.setattr(pf, "APPLY_WHOLE_LIMIT", 1)   # force chunked
+    zc = np.asarray(trj.tree_apply_chain(model.tree, f_ker,
+                                         jnp.asarray(r[perm])))
+    scale = np.abs(za).max()
+    np.testing.assert_allclose(zb, za, rtol=1e-3, atol=1e-9 * scale)
+    # chunked vs whole-level kernel: identical inputs, identical plane
+    # arithmetic — exact equality
+    np.testing.assert_array_equal(zc, zb)
