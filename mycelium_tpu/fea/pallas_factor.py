@@ -181,7 +181,11 @@ def pcr_level_kernel(D, B, fg, lg, steps: int, interpret: bool = False,
     apply kernel streams per round, kept on the TreeFactor so per-iteration
     applies skip the repack; the unpacked (steps, 9, S) coefficient views
     are derived on demand via unpack_coeffs — storing both roughly doubled
-    the factor's coefficient HBM footprint at 309k DOF).
+    the factor's coefficient HBM footprint at 309k DOF. The stored slabs
+    carry ``halo_rows(steps)`` zero rows on BOTH row ends so the chunked
+    apply kernel's windows start at static offsets — Mosaic cannot lower a
+    dynamic_slice of a value, so the clamped-window variant that computed
+    its output offset at runtime failed to compile on real TPU).
 
     ``chunk_rows`` overrides the central-rows-per-program window (module
     default CHUNK_ROWS); tests force small windows so the multi-chunk
@@ -244,7 +248,13 @@ def pcr_level_kernel(D, B, fg, lg, steps: int, interpret: bool = False,
         interpret=interpret,
     )(d_in, b_in, r_in)
 
-    packed = (al, be, dinv)
+    # store the slabs halo-padded (zero rows both ends): the chunked apply
+    # kernel's DMA windows then start at the STATIC offset ci*cb and its
+    # output slice at the static offset halo (dynamic_slice of a value has
+    # no Mosaic lowering — measured compile failure at the 860k-slot level)
+    pad3 = ((0, 0), (0, 0), (halo, halo), (0, 0))
+    pad2 = ((0, 0), (halo, halo), (0, 0))
+    packed = (jnp.pad(al, pad3), jnp.pad(be, pad3), jnp.pad(dinv, pad2))
     dinv = tuple(dinv[c].reshape(-1)[:S] for c in range(9))
     x = tuple(x[c].reshape(-1)[:S] for c in range(18))
     return dinv, x, packed
@@ -255,15 +265,17 @@ def unpack_coeffs(packed, steps: int, S: int):
     level's packed layout (reshape + slice — no extra HBM copy unless the
     caller materializes them)."""
     al_p, be_p, _ = packed
-    al = al_p.reshape(steps, 9, -1)[:, :, :S]
-    be = be_p.reshape(steps, 9, -1)[:, :, :S]
+    halo = halo_rows(steps)
+    al = al_p[:, :, halo:-halo].reshape(steps, 9, -1)[:, :, :S]
+    be = be_p[:, :, halo:-halo].reshape(steps, 9, -1)[:, :, :S]
     return al, be
 
 
 def apply_kernel_vmem_bytes(S: int, itemsize: int = 4,
-                            chunk_rows: int | None = None) -> int:
+                            chunk_rows: int | None = None,
+                            steps: int = 0) -> int:
     """VMEM footprint of the WHOLE-LEVEL pcr_apply_planes_kernel at level
-    size S. Counts 36 plane-sized slabs: two (9, nb_pad, 128) coefficient
+    size S. Counts 36 plane-sized slabs: two (9, rows, 128) coefficient
     scratches + residual/shift/update/solution temporaries and Mosaic
     stack slack — calibrated against a measured compile failure at
     860k slots (122.4 MB scoped = ~35.2 planes; the old 24-plane estimate
@@ -273,7 +285,8 @@ def apply_kernel_vmem_bytes(S: int, itemsize: int = 4,
     cb = CHUNK_ROWS if chunk_rows is None else chunk_rows
     nb = -(-S // BLOCK)
     nb_pad = -(-nb // cb) * cb
-    return 36 * nb_pad * BLOCK * itemsize
+    rows = nb_pad + 2 * halo_rows(steps)
+    return 36 * rows * BLOCK * itemsize
 
 
 # whole-level apply past this footprint switches to the chunked kernel
@@ -281,15 +294,17 @@ def apply_kernel_vmem_bytes(S: int, itemsize: int = 4,
 APPLY_WHOLE_LIMIT = 100 * 2 ** 20
 
 
-def _apply_kernel(steps,
+def _apply_kernel(steps, halo, nb_pad,
                   al_hbm, be_hbm, dv_hbm, r_ref,
                   u_ref, ascr, bscr, sems):
     """One PCR down-sweep application: r_k+1 = r_k - (a_k r[.-s] +
     b_k r[.+s]), u = dinv·r. The residual planes live whole in VMEM
     (tiny — (3, rows, 128)); only the per-round coefficient slabs
-    stream from HBM, one contiguous DMA each. Roll wraparound over the
-    packed array is annihilated by zero coefficients at path bounds —
-    the same argument the XLA plane apply relies on."""
+    stream from HBM, one contiguous DMA each. Operands carry the
+    factor's halo padding (zero rows both ends); the output drops it
+    with a static slice. Roll wraparound over the packed array is
+    annihilated by zero coefficients at path bounds — the same argument
+    the XLA plane apply relies on."""
     r = r_ref[:]                                 # (3, rows, 128)
     s = 1
     for k in range(steps):
@@ -316,38 +331,40 @@ def _apply_kernel(steps,
     cp_d.start()
     cp_d.wait()
     d = ascr[:]
-    u_ref[:] = jnp.stack(
+    u = jnp.stack(
         [d[3 * i] * r[0] + d[3 * i + 1] * r[1] + d[3 * i + 2] * r[2]
          for i in range(3)])
+    u_ref[:] = u[:, halo:halo + nb_pad]
 
 
-def _apply_kernel_chunked(steps, cb, wb, halo, nb_pad,
+def _apply_kernel_chunked(steps, cb, wb, halo,
                           al_hbm, be_hbm, dv_hbm, r_hbm,
                           u_ref, ascr, bscr, rscr, sems):
     """Chunked-window PCR apply: each program owns cb central rows, DMAs
     a (wb = cb + 2*halo)-row window of the residual once and of the
     coefficient slabs per round — VMEM stays O(window) at any level size
     (the whole-level variant's two full coefficient slabs bust the 112 MB
-    Mosaic ceiling past ~700k slots; measured at 860k). Windows at the
-    level ends are CLAMPED into [0, nb_pad) instead of zero-padded: the
-    central region's dependencies stay in-window by the halo argument,
-    and roll wraparound is annihilated by the zero coefficients at path
-    boundaries (exactly the factor kernel's invariant)."""
+    Mosaic ceiling past ~700k slots; measured at 860k). All HBM operands
+    are halo-padded with zero rows on both ends (the factor stores the
+    slabs that way), so every window start is the STATIC offset ci*cb and
+    the output slice the static offset halo — Mosaic has no lowering for
+    a dynamic_slice of a value, so the clamped-window variant failed to
+    compile on hardware. Roll wraparound across the window is annihilated
+    by the zero coefficients at path boundaries (the factor kernel's
+    invariant); the zero halo rows only strengthen it."""
     ci = pl.program_id(0)
-    row0 = ci * cb
-    start = jnp.clip(row0 - halo, 0, nb_pad - wb)
-    off = row0 - start                       # in {0..2*halo}, 8-aligned
+    row0 = ci * cb                           # padded-row window start
     cp_r = pltpu.make_async_copy(
-        r_hbm.at[:, pl.ds(start, wb), :], rscr, sems.at[2])
+        r_hbm.at[:, pl.ds(row0, wb), :], rscr, sems.at[2])
     cp_r.start()
     cp_r.wait()
     r = rscr[:]                              # (3, wb, 128)
     s = 1
     for k in range(steps):
         cp_a = pltpu.make_async_copy(
-            al_hbm.at[k, :, pl.ds(start, wb), :], ascr, sems.at[0])
+            al_hbm.at[k, :, pl.ds(row0, wb), :], ascr, sems.at[0])
         cp_b = pltpu.make_async_copy(
-            be_hbm.at[k, :, pl.ds(start, wb), :], bscr, sems.at[1])
+            be_hbm.at[k, :, pl.ds(row0, wb), :], bscr, sems.at[1])
         cp_a.start()
         cp_b.start()
         rm = _bsh(r, -s)                     # overlaps the DMAs
@@ -364,24 +381,23 @@ def _apply_kernel_chunked(steps, cb, wb, halo, nb_pad,
              for i in range(3)])
         s *= 2
     cp_d = pltpu.make_async_copy(
-        dv_hbm.at[:, pl.ds(start, wb), :], ascr, sems.at[0])
+        dv_hbm.at[:, pl.ds(row0, wb), :], ascr, sems.at[0])
     cp_d.start()
     cp_d.wait()
     d = ascr[:]
     u = jnp.stack(
         [d[3 * i] * r[0] + d[3 * i + 1] * r[1] + d[3 * i + 2] * r[2]
          for i in range(3)])
-    z = jnp.asarray(0, jnp.int32)
-    u_ref[:] = lax.dynamic_slice(u, (z, off.astype(jnp.int32), z),
-                                 (3, cb, BLOCK))
+    u_ref[:] = u[:, halo:halo + cb]
 
 
 def pcr_apply_planes_kernel(packed, rp, steps: int, S: int,
                             interpret: bool = False):
     """x = T^{-1} r on one PCR level, one kernel launch.
 
-    ``packed`` is the (al, be, dinv) triple pcr_level_kernel returned
-    (al/be (steps, 9, nb_pad, 128); dinv (9, nb_pad, 128)). rp: tuple3
+    ``packed`` is the (al, be, dinv) triple pcr_level_kernel returned,
+    halo-padded along rows (al/be (steps, 9, rows, 128); dinv
+    (9, rows, 128) with rows = nb_pad + 2*halo_rows(steps)). rp: tuple3
     of (S,) planes. Replaces the XLA _pcr_apply whose ~25 plane ops x
     steps rounds cost ~2.3 ms per CG iteration at 309k DOF. Levels whose
     whole-level VMEM footprint exceeds APPLY_WHOLE_LIMIT run the
@@ -389,20 +405,18 @@ def pcr_apply_planes_kernel(packed, rp, steps: int, S: int,
     windows streamed per round — any level size)."""
     al_p, be_p, dv_p = packed
     dtype = rp[0].dtype
-    nb_pad = dv_p.shape[1]
-    r_in = _pack_padded(rp, nb_pad, 0, S)
-
     halo = halo_rows(steps)
+    rows = dv_p.shape[1]
+    nb_pad = rows - 2 * halo
+    r_in = _pack_padded(rp, nb_pad, halo, S)
+
     cb = CHUNK_ROWS
     wb = cb + 2 * halo
-    if apply_kernel_vmem_bytes(S, jnp.dtype(dtype).itemsize) \
-            > APPLY_WHOLE_LIMIT and nb_pad >= wb:
-        # clamped windows need the level at least one window tall; any
-        # level big enough to bust the whole-level VMEM budget is (the
-        # nb_pad < wb case only arises in tests that force the limit down)
+    if apply_kernel_vmem_bytes(S, jnp.dtype(dtype).itemsize, steps=steps) \
+            > APPLY_WHOLE_LIMIT and nb_pad >= cb:
         n_chunks = nb_pad // cb
         kernel = functools.partial(_apply_kernel_chunked, steps, cb, wb,
-                                   halo, nb_pad)
+                                   halo)
         anyspec = pl.BlockSpec(memory_space=pl.ANY)
         u = pl.pallas_call(
             kernel,
@@ -423,7 +437,7 @@ def pcr_apply_planes_kernel(packed, rp, steps: int, S: int,
         )(al_p, be_p, dv_p, r_in)
         return tuple(u[i].reshape(-1)[:S] for i in range(3))
 
-    kernel = functools.partial(_apply_kernel, steps)
+    kernel = functools.partial(_apply_kernel, steps, halo, nb_pad)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     u = pl.pallas_call(
@@ -432,8 +446,8 @@ def pcr_apply_planes_kernel(packed, rp, steps: int, S: int,
         in_specs=[anyspec, anyspec, anyspec, vmem],
         out_specs=vmem,
         scratch_shapes=[
-            pltpu.VMEM((9, nb_pad, BLOCK), dtype),
-            pltpu.VMEM((9, nb_pad, BLOCK), dtype),
+            pltpu.VMEM((9, rows, BLOCK), dtype),
+            pltpu.VMEM((9, rows, BLOCK), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -501,7 +501,9 @@ def test_chunked_apply_matches_whole_level(monkeypatch):
     coefficient slabs bust VMEM) must match the whole-level kernel and
     the XLA apply exactly. Forced here by shrinking APPLY_WHOLE_LIMIT to
     1 byte and CHUNK_ROWS to 4 so a 4k-node mesh splits into multiple
-    clamped windows (first / interior / last chunk offsets all run)."""
+    halo-padded windows (first / interior / last chunks all run; window
+    starts are static — the factor stores the slabs halo-padded because
+    Mosaic cannot lower a dynamic_slice of a value)."""
     import jax as _jax
 
     import mycelium_tpu.fea.pallas_factor as pf
