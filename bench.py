@@ -47,12 +47,21 @@ def synthetic_mesh(n_target_nodes: int, seed: int = 0,
             if len(coords) >= n_target_nodes:
                 break
             phi += rng.uniform(-0.26, 0.26)
-            pos = pos + np.array([np.cos(phi), np.sin(phi), 0.0]) * h0
-            # soft wall: reflect back toward the center
+            step = np.array([np.cos(phi), np.sin(phi), 0.0]) * h0
+            # wall: BOUNCE the step direction (length-preserving). The
+            # old clamp shrank wall-adjacent steps — down to L=0.0025 at
+            # 340k nodes, a 20x axial / 8000x bending stiffness spread
+            # that f32 CG cannot solve to 1e-6 (measured: residual floor
+            # 3e-4 relative; the f64 oracle needed 6 iterations). The
+            # REAL workload has no such elements: the reference's
+            # benchmark mesh is uniform L in [0.049, 0.05] (growth steps
+            # are h0 and its walls project tangentially), so the bench
+            # generator must reproduce that contract.
             for ax in range(2):
-                if abs(pos[ax]) > extent / 2:
-                    phi += np.pi / 2
-                    pos[ax] = np.sign(pos[ax]) * extent / 2
+                if abs(pos[ax] + step[ax]) > extent / 2:
+                    step[ax] = -step[ax]
+            phi = np.arctan2(step[1], step[0])
+            pos = pos + step
             coords.append(pos)
             conn.append([prev, len(coords) - 1])
             prev = len(coords) - 1

@@ -205,6 +205,15 @@ class FeaConfig:
                                        # (scripts/profile_solve_309k.py)
     gmres_restart: int = 32            # Arnoldi restart length for the
                                        # 'gmres' solver leg
+    cg_restarts: int = 2               # tree-PC CG: on a plateau, rebuild
+                                       # the Krylov space from the TRUE
+                                       # residual b - K·x up to this many
+                                       # times before accepting the floor
+                                       # (f32 recurrence drift pins the
+                                       # residual ~90x above the real
+                                       # floor at 340k nodes — measured;
+                                       # see solve.pcg). Weak-PC configs
+                                       # (sweep jacobi legs) ignore it.
     rtol: float = 1e-8                 # CG relative residual tolerance
     atol: float = 0.0
     max_iter: int = 20000

@@ -229,7 +229,7 @@ def pallas_tree_big_solve(model, chain_packed, active,
     x_start = freem * x0_p + pinm * uk_p
     bnorm = jnp.sqrt(jnp.sum((freem * b) ** 2))
     res = pcg(operator, b, x_start, precond, cfg.rtol, cfg.atol,
-              cfg.max_iter, bnorm=bnorm)
+              cfg.max_iter, bnorm=bnorm, n_restarts=cfg.cg_restarts)
     x = unpack_vec3(res.x, n, nbc)[plan.inv_perm]
     return SolveResult(x=x.astype(model.coords.dtype), iters=res.iters,
                        resnorm=res.resnorm, converged=res.converged)

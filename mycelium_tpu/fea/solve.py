@@ -200,7 +200,7 @@ def _coarse_chain_fn(model: FeaModel, active, cfg: FeaConfig,
 def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         precond: Callable, rtol: float, atol: float,
         max_iter: int, bnorm=None, stall_window: int = 256,
-        stall_accept: float = 10.0) -> SolveResult:
+        stall_accept: float = 10.0, n_restarts: int = 0) -> SolveResult:
     """Preconditioned conjugate gradients on the SPD BC'd operator.
 
     ``bnorm`` lets the caller scale rtol by the *condensed* RHS (free rows
@@ -225,7 +225,20 @@ def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     the result still counts as converged when the floor is within
     ``stall_accept``·tol (the true solution error there is dominated by
     f32 operator roundoff, not the Krylov iteration). A genuine stall far
-    from tol reports converged=False for the drivers' divergence guard."""
+    from tol reports converged=False for the drivers' divergence guard.
+
+    ``n_restarts``: on a plateau, instead of exiting, recompute the TRUE
+    residual r = b - K·x and rebuild the Krylov space from it (costs one
+    operator apply, counted as an iteration). The plateau is usually the
+    accumulated drift of the recurrence residual away from the true one
+    — measured at 340k nodes: the first stall pinned at 90x tol, one
+    restart dropped the floor 90x to ~tol. Restarted segments use the
+    short near_window for BOTH the next restart trigger and the final
+    exit (a restarted Krylov that re-stalls quickly is conclusively at
+    the f32 operator floor — no reason to burn the long window again).
+    Enabled by the tree-PC solve paths; defaults off so plateau-prone
+    weak-PC configs (the sweep's jacobi runs) keep the conservative
+    exit."""
     if bnorm is None:
         bnorm = jnp.sqrt(_dot(b, b))
     tol = jnp.maximum(rtol * bnorm, atol)
@@ -234,35 +247,54 @@ def pcg(operator: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     z0 = precond(r0)
     rz0 = _dot(r0, z0)
     rn0 = jnp.sqrt(_dot(r0, r0))
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
     state0 = (x0, r0, z0, z0, rz0, rn0,
-              jnp.asarray(0, jnp.int32), rn0, jnp.asarray(0, jnp.int32))
+              i32(0), rn0, i32(0), i32(n_restarts))
 
     near_window = max(stall_window // 8, 8)
 
     def cond(s):
-        rnorm, k, _, since = s[-4], s[-3], s[-2], s[-1]
+        rnorm, k, _, since, rleft = s[-5], s[-4], s[-3], s[-2], s[-1]
         near = rnorm <= stall_accept * tol
-        stalled = since >= jnp.where(near, near_window, stall_window)
+        used = rleft < n_restarts
+        win = jnp.where(near | used, near_window, stall_window)
+        stalled = (since >= win) & (rleft == 0)
         return (k < max_iter) & (rnorm > tol) & ~stalled
 
     def body(s):
-        x, r, z, p, rz, _, k, best, since = s
-        ap = operator(p)
-        pap = _dot(p, ap)
-        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = precond(r)
-        rz_new = _dot(r, z)
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        rnorm = jnp.sqrt(_dot(r, r))
-        improved = rnorm < best * (1.0 - 1e-3)
-        best = jnp.minimum(best, rnorm)
-        since = jnp.where(improved, 0, since + 1)
-        return (x, r, z, p, rz_new, rnorm, k + 1, best, since)
+        x, r, z, p, rz, rnorm, k, best, since, rleft = s
 
-    x, r, _, _, _, rnorm, k, _, since = \
+        def _restart(_):
+            rr = b - operator(x)
+            zz = precond(rr)
+            rnn = jnp.sqrt(_dot(rr, rr))
+            return (x, rr, zz, zz, _dot(rr, zz), rnn, k + 1,
+                    jnp.minimum(best, rnn), i32(0), rleft - 1)
+
+        def _step(_):
+            ap = operator(p)
+            pap = _dot(p, ap)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0),
+                              0.0)
+            xn = x + alpha * p
+            rn = r - alpha * ap
+            zn = precond(rn)
+            rz_new = _dot(rn, zn)
+            beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0),
+                             0.0)
+            pn = zn + beta * p
+            rnn = jnp.sqrt(_dot(rn, rn))
+            improved = rnn < best * (1.0 - 1e-3)
+            return (xn, rn, zn, pn, rz_new, rnn, k + 1,
+                    jnp.minimum(best, rnn),
+                    jnp.where(improved, 0, since + 1), rleft)
+
+        if n_restarts == 0:
+            return _step(None)
+        trigger = (since >= near_window) & (rleft > 0)
+        return jax.lax.cond(trigger, _restart, _step, None)
+
+    x, r, _, _, _, rnorm, k, _, since, _ = \
         jax.lax.while_loop(cond, body, state0)
     stalled = since >= near_window
     converged = (rnorm <= tol) | (stalled & (rnorm <= stall_accept * tol))
@@ -611,6 +643,8 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
                               jnp.where(freef, b, 0.0)))
         kw = ({"restart": cfg.gmres_restart} if cfg.solver == "gmres"
               else {})
+        if cfg.solver == "cg" and cfg.precond == "tree":
+            kw["n_restarts"] = cfg.cg_restarts
         res = SOLVERS[cfg.solver](operator, b, x0_p, precond, cfg.rtol,
                                   cfg.atol, cfg.max_iter, bnorm=bnorm,
                                   **kw)
@@ -627,5 +661,7 @@ def solve_displacement(model: FeaModel, active: jnp.ndarray,
                           jnp.where(free[:, None], b, 0.0)))
     solver = SOLVERS[cfg.solver]
     kw = {"restart": cfg.gmres_restart} if cfg.solver == "gmres" else {}
+    if cfg.solver == "cg" and cfg.precond == "tree":
+        kw["n_restarts"] = cfg.cg_restarts
     return solver(operator, b, x0, precond, cfg.rtol, cfg.atol, cfg.max_iter,
                   bnorm=bnorm, **kw)
