@@ -203,6 +203,15 @@ class FeaConfig:
                                        # inverse vs 3072 at the SAME 6 CG
                                        # iterations; 768 buys nothing more
                                        # (scripts/profile_solve_309k.py)
+    factor_kernel_min_slots: int = 512  # levels with at least this many
+                                       # slots run the fused Pallas PCR
+                                       # factor/apply kernels
+                                       # (fea/pallas_factor.py); smaller
+                                       # levels stay on the XLA plane
+                                       # algebra. The old 4096 floor left
+                                       # the 309k mesh's level-1 factor as
+                                       # a ~2k-op XLA dispatch tail (~5 ms
+                                       # of the 23.6 ms cold solve)
     gmres_restart: int = 32            # Arnoldi restart length for the
                                        # 'gmres' solver leg
     cg_restarts: int = 2               # tree-PC CG: on a plateau, rebuild

@@ -461,7 +461,16 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
     inb = ((jnp.arange(npad, dtype=jnp.int32) % width) != width - 1
            ).astype(f32)
     bslice = slice(width - 1, None, width)
-    A = jnp.zeros((nc, nc), f32)
+    # ONE flat scatter-add for every contribution class: the per-combo
+    # .at[] writes (27 banded + 36-144 jump + reg) serialized into ~70-250
+    # separate scatter ops at ~2.5 us dispatch each on the tunneled TPU —
+    # part of the 309k solve's non-CG XLA tail (VERDICT r3 #2)
+    idx_parts, val_parts = [], []
+
+    def emit(rows, cols, vals):
+        idx_parts.append((rows * nc + cols).reshape(-1))
+        val_parts.append(vals.reshape(-1))
+
     for kc in range(3):
         for kc2 in range(3):
             k3p = ncmp[kc] * ncmp[kc2] * kd
@@ -482,11 +491,11 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
                                                         width).sum(1)
                     rows = fa * nc3 + kc * nbc + car
                     cols = fb * nc3 + kc2 * nbc + car
-                    A = A.at[rows, cols].add(d)
-                    A = A.at[rows[:-1], cols[1:]].add(v01[bslice][:-1])
-                    A = A.at[rows[1:], cols[:-1]].add(v10[bslice][:-1])
+                    emit(rows, cols, d)
+                    emit(rows[:-1], cols[1:], v01[bslice][:-1])
+                    emit(rows[1:], cols[:-1], v10[bslice][:-1])
 
-    # jump edges: small scatter (positions ja/jb, sentinel N -> dropped)
+    # jump edges (positions ja/jb, sentinel N -> masked to zero)
     jp = plan.ja.shape[0]
     if jp:
         m_j = act_pad[plan.jump_elem].astype(f32)
@@ -512,14 +521,10 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
                     for fb in range(n_basis):
                         ra = fa * nc3 + kc * nbc
                         rb = fb * nc3 + kc2 * nbc
-                        A = A.at[ra + cl_a, rb + cl_a].add(
-                            wja[fa] * wja[fb] * k3j)
-                        A = A.at[ra + cl_b, rb + cl_b].add(
-                            wjb[fa] * wjb[fb] * k3j)
-                        A = A.at[ra + cl_a, rb + cl_b].add(
-                            -wja[fa] * wjb[fb] * k3j)
-                        A = A.at[ra + cl_b, rb + cl_a].add(
-                            -wjb[fa] * wja[fb] * k3j)
+                        emit(ra + cl_a, rb + cl_a, wja[fa] * wja[fb] * k3j)
+                        emit(ra + cl_b, rb + cl_b, wjb[fa] * wjb[fb] * k3j)
+                        emit(ra + cl_a, rb + cl_b, -wja[fa] * wjb[fb] * k3j)
+                        emit(ra + cl_b, rb + cl_a, -wjb[fa] * wja[fb] * k3j)
 
     # reg·P per position: 2x2 basis block [1, r; r, r^2] per comp. NO
     # (I-P) identity term (see _coarse_matrix_scatter).
@@ -529,9 +534,12 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
             wv = (dreg * (ramp_pos ** (fa + fb))).reshape(
                 nbc, width).sum(1)
             for kc in range(3):
-                A = A.at[fa * nc3 + kc * nbc + car,
-                         fb * nc3 + kc * nbc + car].add(wv)
-    return A
+                emit(fa * nc3 + kc * nbc + car,
+                     fb * nc3 + kc * nbc + car, wv)
+
+    flat = jnp.zeros((nc * nc,), f32).at[
+        jnp.concatenate(idx_parts)].add(jnp.concatenate(val_parts))
+    return flat.reshape(nc, nc)
 
 
 def _coarse_inverse(model, plan, active, free, cfg, nb, kblk: int = 1):

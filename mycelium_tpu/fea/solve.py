@@ -509,6 +509,7 @@ def compute_tree_factor(model: FeaModel, active, cfg: FeaConfig,
                               model.conn,
                               use_kernel=cfg.use_pallas
                               and (cfg.dtype == "float32" or on_cpu),
+                              kernel_min_slots=cfg.factor_kernel_min_slots,
                               interpret=on_cpu,
                               chain_act_b=chain_act_b,
                               jump_act_b=jump_act_b)
