@@ -37,9 +37,19 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
                      pcs: Sequence[str] = DEFAULT_PCS,
                      trials: int = 5,
                      out_csv: Optional[str] = None,
-                     verbose: bool = False) -> List[Tuple]:
+                     verbose: bool = False,
+                     chain_trials=None) -> List[Tuple]:
     """Returns rows (step, solver, pc, trial, runtime_ms); the timed kernel
-    is one full cold-start solve (x0 = 0) of the current ramp system."""
+    is one full cold-start solve (x0 = 0) of the current ramp system.
+
+    ``chain_trials``: optional dict (or int) — each trial times a chain of
+    that many data-dependent cold solves in flight and reports the mean.
+    On the tunnel-attached TPU a single dispatch+fetch carries ~30 ms of
+    host RTT and ``block_until_ready`` does not reliably block, so
+    per-solve timing needs the fetch amortized over a chain (bench.py's
+    methodology). A dict maps pc name -> chain length (fast kernel combos
+    warrant longer chains). Default 1 keeps the reference's
+    one-solve-per-trial semantics (fine on CPU)."""
     # build the model with the superset of solver plans (chain ordering +
     # tree schedule) so every swept combo finds what it needs, whatever
     # the primary cfg uses
@@ -55,13 +65,37 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
     def make_fn(ccfg):
         return lambda *a: jit_ramp_step(model, ccfg, *a)
 
+    def make_cold_fn(ccfg):
+        # chained-trial variant: the cold restart (x0 scaled to zero)
+        # lives INSIDE the jit — eager host ops through the axon tunnel
+        # cost ~1 ms each and would inflate fast combos ~15%
+        f = jax.jit(lambda m, act, xc, dt, db, anch: ramp_step(
+            m, ccfg, act, xc * 1e-30, dt, db, anch))
+        return lambda act, xc, dt, db, anch: f(model, act, xc, dt, db,
+                                               anch)
+
     combos = {}
     for s in solvers:
         for pc in pcs:
-            ccfg = dataclasses.replace(cfg, solver=s, precond=pc,
-                                       warm_start=False)
-            combos[(s, pc)] = make_fn(ccfg)
+            # the Pallas kernels implement CG only, and the chain-CG
+            # kernel's in-kernel PC is block-Jacobi + cluster coarse:
+            # route ONLY the matching combos (cg+tree -> whole-solve tree
+            # kernel, cg+coarse -> chain-CG kernel) through them so every
+            # swept row times the solver+PC it is labeled with; all other
+            # combos run the XLA chain path honoring cfg.solver/precond
+            ccfg = dataclasses.replace(
+                cfg, solver=s, precond=pc, warm_start=False,
+                use_pallas=cfg.use_pallas and s == "cg"
+                and pc in ("tree", "coarse"))
+            combos[(s, pc)] = (make_fn(ccfg), make_cold_fn(ccfg))
     primary = make_fn(cfg)
+
+    if chain_trials is None:
+        chain_map = {}
+    elif isinstance(chain_trials, int):
+        chain_map = {pc: chain_trials for pc in pcs}
+    else:
+        chain_map = dict(chain_trials)
 
     conn_np = np.asarray(model.conn)
     grip_np = np.asarray(jnp.logical_or(model.top_nodes, model.bot_nodes))
@@ -73,16 +107,36 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
     zeros = jnp.zeros((model.n_nodes, 3), dtype=dtype)
 
     rows: List[Tuple] = []
+    warmed = set()
     for step in range(cfg.n_steps):
         factor = step / (cfg.n_steps - 1)
         dy = jnp.asarray(cfg.displacement_max * factor, dtype)
-        for (s, pc), fn in combos.items():
-            # warm the jit cache outside the timed region
-            fn(active, zeros, dy, -dy, anchored)[0].block_until_ready()
+        for (s, pc), (fn, fn_cold) in combos.items():
+            k = int(chain_map.get(pc, 1))
+            if k <= 1:
+                # warm the jit cache outside the timed region
+                fn(active, zeros, dy, -dy, anchored)[0].block_until_ready()
+                for trial in range(trials):
+                    t0 = time.perf_counter()
+                    fn(active, zeros, dy, -dy,
+                       anchored)[0].block_until_ready()
+                    ms = (time.perf_counter() - t0) * 1e3
+                    rows.append((step, s, pc, trial, ms))
+                continue
+
+            def chain(kk):
+                xc = zeros
+                for _ in range(kk):
+                    xc = fn_cold(active, xc, dy, -dy, anchored)[0]
+                float(xc[0, 0])     # value fetch: the only reliable sync
+
+            if (s, pc) not in warmed:
+                chain(2)            # compile warm-up (program per combo)
+                warmed.add((s, pc))
             for trial in range(trials):
                 t0 = time.perf_counter()
-                fn(active, zeros, dy, -dy, anchored)[0].block_until_ready()
-                ms = (time.perf_counter() - t0) * 1e3
+                chain(k)
+                ms = (time.perf_counter() - t0) * 1e3 / k
                 rows.append((step, s, pc, trial, ms))
         if verbose:
             last = [r for r in rows if r[0] == step]

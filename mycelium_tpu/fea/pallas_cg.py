@@ -538,7 +538,8 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
                      fb * nc3 + kc * nbc + car, wv)
 
     flat = jnp.zeros((nc * nc,), f32).at[
-        jnp.concatenate(idx_parts)].add(jnp.concatenate(val_parts))
+        jnp.concatenate(idx_parts)].add(
+        jnp.concatenate([v.astype(f32) for v in val_parts]))
     return flat.reshape(nc, nc)
 
 
