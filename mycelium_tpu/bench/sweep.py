@@ -95,6 +95,10 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
     elif isinstance(chain_trials, int):
         chain_map = {pc: chain_trials for pc in pcs}
     else:
+        # keys may be pc names or (solver, pc) pairs; pair wins. Chain
+        # length only amortizes the ~30 ms fetch RTT — slow (100+ ms)
+        # combos should run chains of 1, or a capped non-converging
+        # combo multiplies its worst case by the chain length
         chain_map = dict(chain_trials)
 
     conn_np = np.asarray(model.conn)
@@ -112,8 +116,12 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
         factor = step / (cfg.n_steps - 1)
         dy = jnp.asarray(cfg.displacement_max * factor, dtype)
         for (s, pc), (fn, fn_cold) in combos.items():
-            k = int(chain_map.get(pc, 1))
-            if k <= 1:
+            k = int(chain_map.get((s, pc), chain_map.get(pc, 1)))
+            if chain_trials is None:
+                # reference one-solve-per-trial semantics (CPU/tests);
+                # on the tunnel backend block_until_ready does not
+                # reliably block, so any chain_trials request — k == 1
+                # included — times through the value-fetch chain below
                 # warm the jit cache outside the timed region
                 fn(active, zeros, dy, -dy, anchored)[0].block_until_ready()
                 for trial in range(trials):
@@ -141,7 +149,13 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
         if verbose:
             last = [r for r in rows if r[0] == step]
             best = min(last, key=lambda r: r[4])
-            print(f"step {step}: best {best[1]}+{best[2]} {best[4]:.2f} ms")
+            per = {}
+            for r in last:
+                per.setdefault(f"{r[1]}+{r[2]}", []).append(r[4])
+            combo_s = " ".join(
+                f"{k}:{float(np.median(v)):.1f}" for k, v in per.items())
+            print(f"step {step}: best {best[1]}+{best[2]} "
+                  f"{best[4]:.2f} ms | {combo_s}", flush=True)
 
         # advance physics with the primary configuration
         x0 = u_prev * (factor / prev_factor) \

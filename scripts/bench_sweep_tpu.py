@@ -43,8 +43,8 @@ def main(out_csv=OUT):
     cfg = FeaConfig(dtype="float32", rtol=1e-5, max_iter=3000,
                     operator="chain", use_pallas=on_tpu, precond="tree",
                     tree_coarse_weight=0.25, tree_reg_rel=1e-7)
-    chain = {"tree": 16, "coarse": 16, "block_jacobi": 4, "jacobi": 4,
-             "none": 2}
+    chain = {("cg", "tree"): 16, ("cg", "coarse"): 8,
+             ("bicgstab", "tree"): 8, ("gmres", "tree"): 8}
     t0 = time.time()
     rows = run_solver_sweep(coords, conn, cfg, trials=5, out_csv=out_csv,
                             verbose=True, chain_trials=chain)
