@@ -129,11 +129,18 @@ class SegGrid(NamedTuple):
     1/|end-start|^2), so the query consumes them with no per-step gather
     at all. The reference's closest analogue is its incremental voxel
     insert (mycelium_sim_2D.py:540-542 re-inserts only the snapped tip).
+
+    Arrays are stored FLAT (P = GC*g*g) — the query reshapes them to
+    (GC, g, g) views (free: contiguous row-major), and the insert loop
+    works in flat index space, so a steady-state step with an empty
+    insert window costs no reshape/stack relayouts at all (the packed
+    (3, GC, g, g) form paid ~8 ms/step at xlarge just re-stacking
+    untouched planes).
     """
-    ids: jnp.ndarray     # (GC, g, g) int32 segment slots; sentinel = N
-    a: jnp.ndarray       # (3, GC, g, g) segment start components
-    ab: jnp.ndarray      # (3, GC, g, g) end - start components
-    r_ab2: jnp.ndarray   # (GC, g, g) 1/max(|ab|^2, eps); 0 if degenerate
+    ids: jnp.ndarray     # (P,) int32 segment slots; sentinel = N
+    a: tuple             # 3 x (P,) segment start components
+    ab: tuple            # 3 x (P,) end - start components
+    r_ab2: jnp.ndarray   # (P,) 1/max(|ab|^2, eps); 0 if degenerate
     count: jnp.ndarray   # (g*g*gz,) int32 per-cell occupancy
     occ: jnp.ndarray     # () int32 max per-cell occupancy seen
     n_seen: jnp.ndarray  # () int32 slots already scanned for finalization
@@ -142,11 +149,12 @@ class SegGrid(NamedTuple):
 def empty_grid(cfg: GrowthConfig, capacity: int, dtype) -> SegGrid:
     g, gz = grid_dims(cfg)
     GC = gz * cfg.max_per_cell
+    P = GC * g * g
     return SegGrid(
-        ids=jnp.full((GC, g, g), capacity, jnp.int32),
-        a=jnp.zeros((3, GC, g, g), dtype),
-        ab=jnp.zeros((3, GC, g, g), dtype),
-        r_ab2=jnp.zeros((GC, g, g), dtype),
+        ids=jnp.full((P,), capacity, jnp.int32),
+        a=tuple(jnp.zeros((P,), dtype) for _ in range(3)),
+        ab=tuple(jnp.zeros((P,), dtype) for _ in range(3)),
+        r_ab2=jnp.zeros((P,), dtype),
         count=jnp.zeros((g * g * gz,), jnp.int32),
         occ=jnp.zeros((), jnp.int32),
         n_seen=jnp.zeros((), jnp.int32),
@@ -227,18 +235,14 @@ def grid_insert_finalized(grid: SegGrid, st: GrowthState, cfg: GrowthConfig,
         occ = jnp.maximum(occ, jnp.max(jnp.where(ok, rank + 1, 0)))
         return ci + 1, ids_f, a_f, ab_f, r_f, count, occ, dropped
 
-    init = (jnp.asarray(0, jnp.int32), grid.ids.reshape(-1),
-            tuple(grid.a[k].reshape(-1) for k in range(3)),
-            tuple(grid.ab[k].reshape(-1) for k in range(3)),
-            grid.r_ab2.reshape(-1), grid.count, grid.occ,
+    init = (jnp.asarray(0, jnp.int32), grid.ids,
+            tuple(grid.a), tuple(grid.ab),
+            grid.r_ab2, grid.count, grid.occ,
             jnp.asarray(False))
     _, ids_f, a_f, ab_f, r_f, count, occ, dropped = jax.lax.while_loop(
         lambda c: grid.n_seen + c[0] * U < st.n_seg, body, init)
     out = grid._replace(
-        ids=ids_f.reshape(GC, g, g),
-        a=jnp.stack([p.reshape(GC, g, g) for p in a_f]),
-        ab=jnp.stack([p.reshape(GC, g, g) for p in ab_f]),
-        r_ab2=r_f.reshape(GC, g, g),
+        ids=ids_f, a=tuple(a_f), ab=tuple(ab_f), r_ab2=r_f,
         count=count, occ=occ,
         n_seen=jnp.maximum(grid.n_seen, st.n_seg))
     return out, dropped
@@ -321,9 +325,12 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         d = jnp.where(invalid, big, d)
         dmin = jnp.min(d, axis=-1)
         # first-match one-hot select of the projection (take_along_axis
-        # would be another per-row gather; this stays pure VPU)
+        # would be another per-row gather; this stays pure VPU) — same
+        # cumsum-free reduction form as the grid scan (fusable on TPU)
         hit = d <= dmin[..., None]
-        first = jnp.logical_and(hit, jnp.cumsum(hit, axis=-1) == 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+        kmin = jnp.min(jnp.where(hit, kk, d.shape[-1]), axis=-1)
+        first = kk == kmin[..., None]
         pmin = jnp.sum(proj * first[..., None].astype(proj.dtype), axis=-2)
         best_d, best_proj = best
         better = dmin < best_d
@@ -411,9 +418,11 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
             Kp = chunk_of(GC)
             n_sc_p = jnp.minimum((grid_new.occ * gz + Kp - 1) // Kp,
                                  GC // Kp).astype(jnp.int32)
-            sources = [([grid_new.a[k] for k in range(3)],
-                        [grid_new.ab[k] for k in range(3)],
-                        grid_new.r_ab2, grid_new.ids, n_sc_p, Kp)]
+            # flat -> (GC, g, g) views: contiguous reshape, no copy
+            sources = [([grid_new.a[k].reshape(GC, g, g) for k in range(3)],
+                        [grid_new.ab[k].reshape(GC, g, g) for k in range(3)],
+                        grid_new.r_ab2.reshape(GC, g, g),
+                        grid_new.ids.reshape(GC, g, g), n_sc_p, Kp)]
             # overlay capacity = max_per_cell (not the tip-END cap): tip
             # SEGMENT midpoints cluster like segments, not like corner-
             # bucketed tips — Ct=16 dropped candidates at the xlarge
@@ -497,9 +506,17 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
                 invalid = (ids == tsl[:, None]) | (ids >= N)
                 d2 = jnp.where(invalid, big, d2)
                 dmin = jnp.min(d2, axis=1)                    # (Kt,g,g)
-                # first-match one-hot select of the projection — no gather
+                # first-match one-hot select of the projection — no
+                # gather, and no cumsum: a cumsum along the candidate
+                # axis is a serial scan XLA cannot fuse into this body,
+                # so every (Kt,K,g,g) intermediate (64 MB at xlarge) hit
+                # HBM — measured ~89 of the 110 ms xlarge anastomose.
+                # Two fusable reductions pick the same winner (smallest
+                # candidate index among the distance ties).
                 hit = d2 <= dmin[:, None]
-                first = jnp.logical_and(hit, jnp.cumsum(hit, axis=1) == 1)
+                kk = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                kmin = jnp.min(jnp.where(hit, kk, d2.shape[1]), axis=1)
+                first = kk == kmin[:, None]
                 fw = first.astype(dtype)
                 pj = [jnp.sum((sl_a[k] + tt * sl_ab[k]) * fw, axis=1)
                       for k in range(3)]

@@ -54,6 +54,24 @@ def main():
     print(f"n_seg {int(np.asarray(st.n_seg))} "
           f"n_hyp {int(np.asarray(st.n_hyp))}", flush=True)
 
+    if cfg.grid_incremental:
+        # checkpoint loads drop the grid cache (io/checkpoint.py); attach
+        # an empty grid and run the whole-backlog insert ONCE here so the
+        # timed anastomose/full_step calls measure the steady state (their
+        # per-call insert window [n_seen, n_seg) is then empty — real
+        # steps insert ~n_grown segments, a few ms at most)
+        from mycelium_tpu.growth.neighbors import grid_insert_finalized
+        from mycelium_tpu.growth.state import ensure_grid
+        st = ensure_grid(st, cfg)
+        t0 = time.perf_counter()
+        grid, dropped = jax.jit(grid_insert_finalized,
+                                static_argnums=(2,))(st.grid, st, cfg)
+        np.asarray(grid.n_seen)
+        st = st._replace(grid=grid)
+        print(f"grid backlog insert {time.perf_counter() - t0:.1f} s "
+              f"(occ {int(np.asarray(grid.occ))}, "
+              f"dropped {bool(np.asarray(dropped))})", flush=True)
+
     ops = {
         "translocate": lambda s: translocate(s, cfg),
         "grow": lambda s: grow(s, cfg, s.key),

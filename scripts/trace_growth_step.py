@@ -38,6 +38,18 @@ def main():
         st, ea, _ = run_growth_chunked(cfg, env, chunk_steps=10)
         save_growth_state(path, st)
 
+    if cfg.grid_incremental:
+        # checkpoint loads drop the grid cache; catch the backlog up once
+        # so the traced steps run the steady-state insert window
+        import numpy as np
+        from mycelium_tpu.growth.neighbors import grid_insert_finalized
+        from mycelium_tpu.growth.state import ensure_grid
+        st = ensure_grid(st, cfg)
+        grid, _ = jax.jit(grid_insert_finalized,
+                          static_argnums=(2,))(st.grid, st, cfg)
+        np.asarray(grid.n_seen)
+        st = st._replace(grid=grid)
+
     fn = jax.jit(lambda s: jax.lax.fori_loop(
         0, 4, lambda i, x: growth_step(x, ea, cfg), s))
     out = fn(st)
