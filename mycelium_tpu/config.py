@@ -78,6 +78,12 @@ class GrowthConfig:
     grid_update_cap: int = 1 << 16     # chunk size of the incremental insert
                                        # batch; steps finalizing more than
                                        # this many segments loop more chunks
+    anast_kernel: bool = True          # run the anastomosis distance scan as
+                                       # the banded Pallas kernel
+                                       # (growth/pallas_anast.py) when the
+                                       # layout allows (grid_incremental,
+                                       # corner window, gz == 1, f32, TPU
+                                       # backend); False forces the XLA scan
                                        # (bounded device code either way).
                                        # Also the one-off resume path: a grid
                                        # rebuilt from a checkpoint inserts

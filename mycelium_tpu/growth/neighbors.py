@@ -36,6 +36,13 @@ import numpy as np
 from ..config import GrowthConfig
 from .state import ACTIVE, ANASTOMOSED, EMPTY, GrowthState
 
+def _anast_kernel_mode():
+    """'auto' (kernel on TPU-class backends), 'off', or 'interpret'
+    (force the kernel in Pallas interpret mode on CPU — test hook)."""
+    import os
+    return os.environ.get("MYC_ANAST_KERNEL", "auto")
+
+
 def grid_dims(cfg: GrowthConfig):
     """Static grid extents: the dish plus margin for wall-leaked tips;
     out-of-range coordinates clip into the border cells."""
@@ -358,19 +365,24 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         #    max occupancy (lax.while_loop with a dynamic bound), so the
         #    static caps C/Ct only size memory: the xlarge state runs
         #    ~40 of 64 segment slots and ~10 of 16 tip slots.
-        # The projection point is carried through the scan (one-hot
-        # select, pure VPU), so no winner gather/recompute at the end.
+        # The scan carries (distance, segment parameter tt, winner slot)
+        # and the winning projection is recomputed once per hypha after
+        # the scan — one H-row gather instead of three carried planes.
         GC = gz * C
         GT = gz * Ct
         eps_len = jnp.asarray(1e-12, dtype)
 
-        def chunk_of(cap):
-            K = min(16, cap)
+        def chunk_of(cap, want=16):
+            # finer chunks track the measured occupancy tighter: the trip
+            # bound ceil(occ/K)*K overshoots occ by up to K-1 planes, and
+            # the xlarge overlay runs occ ~18 of cap 64 (K=16 scanned 32
+            # planes; K=4 scans 20)
+            K = min(want, cap)
             while cap % K:
                 K -= 1
             return K
 
-        def gather_source(ids_grid, occ, cap):
+        def gather_source(ids_grid, occ, cap, want=16):
             """Build one candidate source from a plane-layout id table:
             occupancy-bounded geometry pregather (only occupied chunks
             are gathered — the full-table gather cost 37 ms/step at
@@ -378,7 +390,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
             mask in the scan) + offset-independent per-candidate
             precompute (direction, inverse squared length — segment
             planes are never rolled)."""
-            K = chunk_of(cap)
+            K = chunk_of(cap, want)
             n_sc = jnp.minimum((occ * gz + K - 1) // K,
                                cap // K).astype(jnp.int32)
 
@@ -415,7 +427,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
                     "state through state.ensure_grid / init_state")
             grid_new, ins_dropped = grid_insert_finalized(
                 st.grid, st, cfg, sgeo_pad)
-            Kp = chunk_of(GC)
+            Kp = chunk_of(GC, 8)
             n_sc_p = jnp.minimum((grid_new.occ * gz + Kp - 1) // Kp,
                                  GC // Kp).astype(jnp.int32)
             # flat -> (GC, g, g) views: contiguous reshape, no copy
@@ -437,7 +449,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
                 t, ov_cell, m_cells, C, sentinel=N)
             ov_ids = ov_tbl.reshape(g, g, gz, C) \
                 .transpose(3, 2, 0, 1).reshape(GO, g, g)
-            sources.append(gather_source(ov_ids, ov_occ, GO))
+            sources.append(gather_source(ov_ids, ov_occ, GO, want=4))
             seg_dropped = ov_dropped + ins_dropped.astype(ov_dropped.dtype)
         else:
             # slot-major candidate axis: position = slot*gz + z, so
@@ -471,14 +483,36 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         tip_flat = end_pad[jnp.minimum(tslot, N)]             # (GT,g,g,3)
         tpp = [tip_flat[..., k] for k in range(3)]            # (GT,g,g)
 
-        Kt = min(8, GT)
-        while GT % Kt:
-            Kt -= 1
-        n_tc = jnp.minimum((tip_occ * gz + Kt - 1) // Kt,
-                           GT // Kt).astype(jnp.int32)
+        use_kernel = (use_inc and corner_window and gz == 1
+                      and dtype == jnp.float32 and cfg.anast_kernel
+                      and _anast_kernel_mode() != "off"
+                      and (_jax.default_backend() != "cpu"
+                           or _anast_kernel_mode() == "interpret"))
+        if use_kernel:
+            # banded Pallas scan: per-band occupancy bounds + one launch
+            # (growth/pallas_anast.py) — the XLA chunk loops below pay
+            # global-max trip counts and per-iteration dispatch
+            from .pallas_anast import anast_scan_kernel
+            tipcnt = jnp.sum(tslot < N, axis=0).astype(jnp.int32)
+            gcnt = grid_new.count.reshape(g, g)
+            ocnt = jnp.sum(ov_ids < N, axis=0).astype(jnp.int32)
+            ksrcs = [(s[0], s[1], s[2], s[3]) for s in sources]
+            best_d2, best_tt, best_id = anast_scan_kernel(
+                tpp, tslot, ksrcs, tipcnt, [gcnt, ocnt], N, g,
+                interpret=_jax.default_backend() == "cpu")
+            best_d2 = best_d2.astype(dtype)
+            best_tt = best_tt.astype(dtype)
 
-        best_d2 = jnp.full((GT, g, g), big)
-        best_p = [jnp.zeros((GT, g, g), dtype) for _ in range(3)]
+        # ONE tip plane per chunk: corner-bucket occupancy is heterogeneous
+        # (xlarge: mean 1.9 tips/cell, max 9), so Kt=8 scanned 16 planes
+        # where 9 suffice — Kt=1 makes the trip bound exact in occ
+        Kt = 1
+        n_tc = jnp.minimum(tip_occ * gz, GT).astype(jnp.int32)
+
+        if not use_kernel:
+            best_d2 = jnp.full((GT, g, g), big)
+            best_tt = jnp.zeros((GT, g, g), dtype)
+            best_id = jnp.full((GT, g, g), N, jnp.int32)
 
         def make_seg_scan(src):
             """Chunked distance scan over one candidate source (the
@@ -486,7 +520,7 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
             aP, abP, rP, idsP, n_scP, Ks = src
 
             def seg_body(carry, tpc, tsl):
-                sc, b_d2, b_p0, b_p1, b_p2 = carry
+                sc, b_d2, b_tt, b_id = carry
                 sl_a = [jax.lax.dynamic_slice_in_dim(
                     aP[k], sc * Ks, Ks, axis=0)[None]
                         for k in range(3)]                    # (1,K,g,g)
@@ -517,15 +551,20 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
                 kk = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
                 kmin = jnp.min(jnp.where(hit, kk, d2.shape[1]), axis=1)
                 first = kk == kmin[:, None]
-                fw = first.astype(dtype)
-                pj = [jnp.sum((sl_a[k] + tt * sl_ab[k]) * fw, axis=1)
-                      for k in range(3)]
+                # carry the winner's segment PARAMETER + slot id instead
+                # of its projection point: the projection is recomputed
+                # once per hypha after the scan (one H-row gather) from
+                # the same a/ab/tt values, bit-identical in f32 — saves
+                # three (Kt,K,g,g) product-sums here and one full result
+                # plane through every chunk/offset merge
+                tt_w = jnp.sum(tt * first.astype(dtype), axis=1)
+                id_w = jnp.sum(jnp.where(first, ids, 0), axis=1,
+                               dtype=jnp.int32)
                 better = dmin < b_d2
                 return (sc + 1,
                         jnp.where(better, dmin, b_d2),
-                        jnp.where(better, pj[0], b_p0),
-                        jnp.where(better, pj[1], b_p1),
-                        jnp.where(better, pj[2], b_p2))
+                        jnp.where(better, tt_w, b_tt),
+                        jnp.where(better, id_w, b_id))
 
             def run(tpc, tsl, best):
                 init = (jnp.asarray(0, jnp.int32),) + best
@@ -537,44 +576,42 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
             return run
 
         seg_scans = [make_seg_scan(src) for src in sources]
-        for dx, dy in grid_offs:
+        for dx, dy in ([] if use_kernel else grid_offs):
             # roll tips by +(dx,dy): at grid index m the pair is
             # (tip bucket m-(dx,dy)) vs (segment cell m)
             rtp = [jnp.roll(p, (dx, dy), axis=(1, 2)) for p in tpp]
             rts = jnp.roll(tslot, (dx, dy), axis=(1, 2))
 
             def tip_body(carry):
-                tc, d2b, p0b, p1b, p2b = carry
+                tc, d2b, ttb, idb = carry
                 tpc = [jax.lax.dynamic_slice_in_dim(p, tc * Kt, Kt, axis=0)
                        for p in rtp]                          # (Kt,g,g)
                 tsl = jax.lax.dynamic_slice_in_dim(rts, tc * Kt, Kt,
                                                    axis=0)
                 best = (jnp.full((Kt, g, g), big),
                         jnp.zeros((Kt, g, g), dtype),
-                        jnp.zeros((Kt, g, g), dtype),
-                        jnp.zeros((Kt, g, g), dtype))
+                        jnp.full((Kt, g, g), N, jnp.int32))
                 for run_scan in seg_scans:
                     best = run_scan(tpc, tsl, best)
-                bd2, bp0, bp1, bp2 = best
+                bd2, btt, bid = best
                 upd = jax.lax.dynamic_update_slice_in_dim
                 return (tc + 1, upd(d2b, bd2, tc * Kt, axis=0),
-                        upd(p0b, bp0, tc * Kt, axis=0),
-                        upd(p1b, bp1, tc * Kt, axis=0),
-                        upd(p2b, bp2, tc * Kt, axis=0))
+                        upd(ttb, btt, tc * Kt, axis=0),
+                        upd(idb, bid, tc * Kt, axis=0))
 
             o_init = (jnp.asarray(0, n_tc.dtype), jnp.full((GT, g, g), big),
                       jnp.zeros((GT, g, g), dtype),
-                      jnp.zeros((GT, g, g), dtype),
-                      jnp.zeros((GT, g, g), dtype))
-            _, od2, op0, op1, op2 = jax.lax.while_loop(
+                      jnp.full((GT, g, g), N, jnp.int32))
+            _, od2, ott, oid = jax.lax.while_loop(
                 lambda cy_: cy_[0] < n_tc, tip_body, o_init)
             # roll results back to unrolled tip-bucket space and merge
             od2 = jnp.roll(od2, (-dx, -dy), axis=(1, 2))
-            op = [jnp.roll(p, (-dx, -dy), axis=(1, 2))
-                  for p in (op0, op1, op2)]
+            ott = jnp.roll(ott, (-dx, -dy), axis=(1, 2))
+            oid = jnp.roll(oid, (-dx, -dy), axis=(1, 2))
             better = od2 < best_d2
             best_d2 = jnp.where(better, od2, best_d2)
-            best_p = [jnp.where(better, op[k], best_p[k]) for k in range(3)]
+            best_tt = jnp.where(better, ott, best_tt)
+            best_id = jnp.where(better, oid, best_id)
 
         # ---- pull per-HYPHA results out of the table space: the results
         # live in (GT,g,g) planes, but scattering snaps through that 2M-
@@ -590,8 +627,15 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
         in_tbl = tip_pos < m_cells * Ct
         pos_c = jnp.minimum(pos_h, GT * g * g - 1)
         d_h = jnp.sqrt(best_d2.reshape(-1)[pos_c])            # (H,)
-        proj_h = jnp.stack([p.reshape(-1)[pos_c] for p in best_p],
-                           axis=-1)                           # (H, 3)
+        tt_h = best_tt.reshape(-1)[pos_c]
+        id_h = best_id.reshape(-1)[pos_c]
+        # recompute the winner's projection from its slot geometry: same
+        # a, ab = end - start, and tt values the scan used (the grid
+        # stores ab computed exactly this way at insert), so the f32
+        # projection is bit-identical to the old in-scan select
+        geo_h = sgeo_pad[jnp.minimum(id_h, N)]                # (H, 6)
+        proj_h = geo_h[:, 0:3] + tt_h[:, None] \
+            * (geo_h[:, 3:6] - geo_h[:, 0:3])                 # (H, 3)
         flat_slot = jnp.where(in_tbl & tip_ok, t, N)
         flat_d = jnp.where(in_tbl, d_h, big)
         flat_proj = proj_h

@@ -534,3 +534,28 @@ def test_incremental_grid_cell_overflow_sets_flag():
     for _ in range(cfg.t_steps):
         st = _step_with_grid(st, ea, cfg)
     assert bool(np.asarray(st.overflow))
+
+
+def test_anast_kernel_matches_xla_scan(monkeypatch):
+    """The banded Pallas scan kernel (growth/pallas_anast.py, interpret
+    mode on CPU) must reproduce the XLA chunk-loop scan exactly — same
+    snapped endpoints and states over a real grown f32 state with a
+    multi-band face, occupied and empty bands, and both candidate
+    sources populated."""
+    import dataclasses
+    from mycelium_tpu.growth.step import run_growth
+
+    cfg = GrowthConfig(t_steps=25, grid_incremental=True)
+    st, _, hist = run_growth(cfg, petri_dish(cfg))
+    assert np.asarray(st.start).dtype == np.float32
+    assert hist[-1]["segments"] > 1000
+
+    monkeypatch.setenv("MYC_ANAST_KERNEL", "off")
+    out_x = detect_anastomosis(st, cfg)
+    monkeypatch.setenv("MYC_ANAST_KERNEL", "interpret")
+    out_k = detect_anastomosis(st, cfg)
+
+    assert np.array_equal(np.asarray(out_x.end), np.asarray(out_k.end))
+    assert np.array_equal(np.asarray(out_x.state), np.asarray(out_k.state))
+    assert np.sum(np.asarray(out_k.state) == ANASTOMOSED) \
+        >= np.sum(np.asarray(st.state) == ANASTOMOSED)
