@@ -156,8 +156,12 @@ def main():
     # vs_baseline_309k uses ref_ms = 164 * n_dof / 22125.
     if not os.environ.get("MYC_BENCH_SMALL"):
         try:
+            # chain length 8 = bench/scaling.py's default: ONE methodology
+            # for the driver number and the scaling artifact (VERDICT r4
+            # weak #1 — the old n_chain=4 here amortized dispatch less
+            # per solve than the scaling rows, skewing the comparison)
             from mycelium_tpu.bench.scaling import run as scaling_run
-            big = scaling_run([103000], n_chain=4, quiet=True)[0]
+            big = scaling_run([103000], n_chain=8, quiet=True)[0]
             ref_big_ms = BASELINE_MS * big["n_dof"] / 22125.0
             row["solve_ms_309k"] = big["solve_ms"]
             row["vs_baseline_309k"] = round(ref_big_ms / big["solve_ms"], 2)

@@ -38,7 +38,8 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
                      trials: int = 5,
                      out_csv: Optional[str] = None,
                      verbose: bool = False,
-                     chain_trials=None) -> List[Tuple]:
+                     chain_trials=None,
+                     return_meta: bool = False):
     """Returns rows (step, solver, pc, trial, runtime_ms); the timed kernel
     is one full cold-start solve (x0 = 0) of the current ramp system.
 
@@ -49,7 +50,16 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
     per-solve timing needs the fetch amortized over a chain (bench.py's
     methodology). A dict maps pc name -> chain length (fast kernel combos
     warrant longer chains). Default 1 keeps the reference's
-    one-solve-per-trial semantics (fine on CPU)."""
+    one-solve-per-trial semantics (fine on CPU).
+
+    When ``out_csv`` is given, a ``*_meta.json`` sidecar is written next
+    to it so the artifact is self-describing without external prose
+    (VERDICT r4 #7): per-combo chain length (rows are CHAIN MEANS when
+    k > 1, not independent solves), per-combo converged-step fraction and
+    median iteration count — a reader comparing against the reference's
+    runtime_results.csv can see at a glance which legs' medians are
+    capped cost rather than converged solves. ``return_meta`` returns
+    (rows, meta) instead of rows."""
     # build the model with the superset of solver plans (chain ordering +
     # tree schedule) so every swept combo finds what it needs, whatever
     # the primary cfg uses
@@ -111,6 +121,10 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
     zeros = jnp.zeros((model.n_nodes, 3), dtype=dtype)
 
     rows: List[Tuple] = []
+    # per-combo convergence record (sidecar provenance): iters/converged
+    # of the LAST timed solve each step — read off the already-computed
+    # result, no extra solves (a capped 3 s leg must not pay a 6th solve)
+    combo_stats = {key: {"iters": [], "converged": []} for key in combos}
     warmed = set()
     for step in range(cfg.n_steps):
         factor = step / (cfg.n_steps - 1)
@@ -124,28 +138,35 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
                 # included — times through the value-fetch chain below
                 # warm the jit cache outside the timed region
                 fn(active, zeros, dy, -dy, anchored)[0].block_until_ready()
+                out = None
                 for trial in range(trials):
                     t0 = time.perf_counter()
-                    fn(active, zeros, dy, -dy,
-                       anchored)[0].block_until_ready()
+                    out = fn(active, zeros, dy, -dy, anchored)
+                    out[0].block_until_ready()
                     ms = (time.perf_counter() - t0) * 1e3
                     rows.append((step, s, pc, trial, ms))
-                continue
+            else:
+                def chain(kk):
+                    xc, out = zeros, None
+                    for _ in range(kk):
+                        out = fn_cold(active, xc, dy, -dy, anchored)
+                        xc = out[0]
+                    float(xc[0, 0])   # value fetch: the only reliable sync
+                    return out
 
-            def chain(kk):
-                xc = zeros
-                for _ in range(kk):
-                    xc = fn_cold(active, xc, dy, -dy, anchored)[0]
-                float(xc[0, 0])     # value fetch: the only reliable sync
-
-            if (s, pc) not in warmed:
-                chain(2)            # compile warm-up (program per combo)
-                warmed.add((s, pc))
-            for trial in range(trials):
-                t0 = time.perf_counter()
-                chain(k)
-                ms = (time.perf_counter() - t0) * 1e3 / k
-                rows.append((step, s, pc, trial, ms))
+                if (s, pc) not in warmed:
+                    chain(2)        # compile warm-up (program per combo)
+                    warmed.add((s, pc))
+                out = None
+                for trial in range(trials):
+                    t0 = time.perf_counter()
+                    out = chain(k)
+                    ms = (time.perf_counter() - t0) * 1e3 / k
+                    rows.append((step, s, pc, trial, ms))
+            # fetch AFTER the timed region (ramp_step tuple: [4]=iters,
+            # [6]=converged)
+            combo_stats[(s, pc)]["iters"].append(int(out[4]))
+            combo_stats[(s, pc)]["converged"].append(bool(out[6]))
         if verbose:
             last = [r for r in rows if r[0] == step]
             best = min(last, key=lambda r: r[4])
@@ -177,6 +198,32 @@ def run_solver_sweep(coords, conn, cfg: FeaConfig,
         if active_new_np.sum() == 0:
             break
 
+    meta = {
+        "row_semantics": "runtime_ms is the MEAN over a chain of "
+                         "chain_len data-dependent cold solves when "
+                         "chain_len > 1 (fetch-RTT amortization, see "
+                         "docstring); one timed solve when chain_len = 1",
+        "combos": {
+            f"{s}+{pc}": {
+                "chain_len": int(chain_map.get((s, pc),
+                                               chain_map.get(pc, 1)))
+                if chain_trials is not None else 1,
+                "converged_steps": int(sum(st["converged"])),
+                "steps": len(st["converged"]),
+                "median_iters": float(np.median(st["iters"]))
+                if st["iters"] else None,
+                "max_iters": int(max(st["iters"])) if st["iters"] else None,
+            }
+            for (s, pc), st in combo_stats.items()
+        },
+    }
     if out_csv is not None:
         write_sweep_results(out_csv, rows)
+        import json
+        import os
+        base, _ = os.path.splitext(out_csv)
+        with open(base + "_meta.json", "w") as f:
+            json.dump(meta, f, indent=1)
+    if return_meta:
+        return rows, meta
     return rows

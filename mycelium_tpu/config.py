@@ -77,7 +77,10 @@ class GrowthConfig:
                                        # query strategy on any backend.
     grid_update_cap: int = 1 << 16     # chunk size of the incremental insert
                                        # batch; steps finalizing more than
-                                       # this many segments loop more chunks
+                                       # this many segments loop more chunks.
+                                       # Also the one-off resume path: a grid
+                                       # rebuilt from a checkpoint inserts
+                                       # the whole backlog in these chunks.
     anast_kernel: bool = True          # run the anastomosis distance scan as
                                        # the banded Pallas kernel
                                        # (growth/pallas_anast.py) when the
@@ -85,9 +88,6 @@ class GrowthConfig:
                                        # corner window, gz == 1, f32, TPU
                                        # backend); False forces the XLA scan
                                        # (bounded device code either way).
-                                       # Also the one-off resume path: a grid
-                                       # rebuilt from a checkpoint inserts
-                                       # the whole backlog in these chunks.
     dtype: str = "float32"
 
     @property

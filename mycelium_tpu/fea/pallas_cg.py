@@ -466,6 +466,10 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
     # separate scatter ops at ~2.5 us dispatch each on the tunneled TPU —
     # part of the 309k solve's non-CG XLA tail (VERDICT r3 #2)
     idx_parts, val_parts = [], []
+    # rows * nc + cols is formed in int32: past nc = 46340 the product
+    # overflows. Unreachable for the coarse_max_dim-capped sizes
+    # (~768-3072), but nothing else guards a future widening.
+    assert nc <= 46340, f"coarse dim {nc} overflows int32 flat indices"
 
     def emit(rows, cols, vals):
         idx_parts.append((rows * nc + cols).reshape(-1))

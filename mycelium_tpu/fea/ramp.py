@@ -379,7 +379,11 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
     Reference analogue: the same 40-step driver loop
     (src/fea_solver.py:216-295) — this is the tunnel-latency-aware
     variant of ``run_ramp`` for benchmarking and headless production
-    runs (no per-step checkpointing/verbose)."""
+    runs (no per-step checkpointing/verbose). ``solve_seconds`` is the
+    CHUNK-AMORTIZED wall time (each sync chunk's wall time divided
+    evenly over its steps) — per-step device times are not observable
+    without the per-step syncs this driver exists to avoid; the
+    runtime.txt writers stay NaN-free."""
     t0 = time.time()
     if model is None:
         model = build_model(coords, conn, cfg)
@@ -415,6 +419,18 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
 
     factors = [s / (n_steps - 1) for s in range(n_steps)]
     stopped = n_steps
+    # chunk-amortized per-step seconds: wall time between status syncs,
+    # spread evenly over the chunk's steps (see docstring)
+    secs = np.zeros((n_steps,))
+    chunk_lo, chunk_t0 = 0, time.time()
+
+    def _close_chunk(hi):
+        nonlocal chunk_lo, chunk_t0
+        now = time.time()
+        if hi > chunk_lo:
+            secs[chunk_lo:hi] = (now - chunk_t0) / (hi - chunk_lo)
+        chunk_lo, chunk_t0 = hi, now
+
     for step in range(n_steps):
         carry, bufs = step_fn(model, cfg, carry, bufs,
                               jnp.asarray(step, jnp.int32),
@@ -423,12 +439,14 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
                                           dtype))
         if (step + 1) % sync_every == 0 and step + 1 < n_steps:
             status = np.asarray(bufs["status"])      # blocks on the chunk
+            _close_chunk(step + 1)
             _check_status(status, step + 1)
             if status[step, 1] == 0:                 # fully fractured
                 stopped = step + 1
                 break
     status = np.asarray(bufs["status"])
     last = min(stopped, n_steps)
+    _close_chunk(last)
     _check_status(status, last)
 
     fd = np.stack([2 * cfg.displacement_max * np.asarray(factors[:last]),
@@ -438,7 +456,7 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
         active_record=np.asarray(bufs["active"])[:last],
         disp_record=np.asarray(bufs["disp"])[:last],
         force_disp=fd,
-        solve_seconds=np.full((last,), np.nan),
+        solve_seconds=secs[:last],
         cg_iters=status[:last, 2].astype(np.int64),
         total_seconds=time.time() - t0,
     )

@@ -98,7 +98,8 @@ def _scan_kernel(n_slots, GT, CW, tocc_ref, gocc_ref, oocc_ref,
             id_w = cid_scr[:]
             # col-shifted copies for dc = -1: view[j] = cand[j - 1]
             # (wrapped col 0 reads the right-edge PAD, whose id is the
-            # n_slots sentinel -> masked invalid)
+            # n_slots sentinel -> masked invalid; CW > g always — the
+            # host pads at least one full lane column to guarantee it)
             geo_m = pltpu.roll(geo, 1, 2)
             rr_m = pltpu.roll(rr_w, 1, 1)
             id_m = pltpu.roll(id_w, 1, 1)
@@ -176,7 +177,11 @@ def anast_scan_kernel(tpp, tslot, sources, tip_count_cells,
     GT = tslot.shape[0]
     n_bands = -(-g // TB)
     rows_pad = n_bands * TB
-    CW = -(-g // LANE) * LANE
+    # always at least one pad lane column on the right: the kernel's
+    # dc = -1 column roll wraps col 0 into the right edge, and the
+    # sentinel-pad invariant (wrapped reads are masked invalid) needs
+    # CW > g even when g is an exact multiple of LANE
+    CW = (g // LANE + 1) * LANE
     f32 = jnp.float32
 
     tgeo = jnp.stack([jnp.pad(p.astype(f32),
