@@ -195,9 +195,17 @@ def main():
             from mycelium_tpu.fea.model import build_model as _bm
             model_b = _bm(coords_b, conn_b, cfg_b)
             run_ramp_async(coords_b, conn_b, cfg_b, model=model_b)  # compile
-            t0 = time.perf_counter()
-            res_b = run_ramp_async(coords_b, conn_b, cfg_b, model=model_b)
-            ramp_s = time.perf_counter() - t0
+            # median of 3: the ~70 MB record fetch is 75-80% of this
+            # measurement and the relay's throughput varies ~2x run to
+            # run (scripts/diag_ramp_variance.py) — a single sample put
+            # 7.23 s in BENCH_r04 vs 4.04 s in the standalone script
+            ramp_ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res_b = run_ramp_async(coords_b, conn_b, cfg_b,
+                                       model=model_b)
+                ramp_ts.append(time.perf_counter() - t0)
+            ramp_s = float(np.median(ramp_ts))
             row["ramp_s_309k"] = round(ramp_s, 2)
             ref_ramp_s = 71.76 * (3 * coords_b.shape[0]) / 22125.0
             row["ramp_vs_baseline_309k"] = round(ref_ramp_s / ramp_s, 1)

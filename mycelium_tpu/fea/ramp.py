@@ -383,7 +383,17 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
     CHUNK-AMORTIZED wall time (each sync chunk's wall time divided
     evenly over its steps) — per-step device times are not observable
     without the per-step syncs this driver exists to avoid; the
-    runtime.txt writers stay NaN-free."""
+    runtime.txt writers stay NaN-free.
+
+    The ~70 MB record pull at the end is 75-80% of the 309k ramp wall
+    time at the relay's ~28 MB/s and is fetched SERIALLY on purpose:
+    overlapping it with device compute was tried two ways and measured
+    WORSE on this tunnel — a host fetch thread (GIL/CPU contention on
+    the one-core box inflated both phases ~2x) and per-chunk
+    ``copy_to_host_async`` snapshots (the relay serializes transfers,
+    so the async copies only delayed the status syncs behind 14 MB
+    chunk transfers; median 6.1 s vs 5.4 s plain). See
+    scripts/diag_ramp_variance.py for the numbers."""
     t0 = time.time()
     if model is None:
         model = build_model(coords, conn, cfg)
@@ -435,8 +445,8 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
         carry, bufs = step_fn(model, cfg, carry, bufs,
                               jnp.asarray(step, jnp.int32),
                               jnp.asarray(factors[step], dtype),
-                              jnp.asarray(factors[step - 1] if step else 0.0,
-                                          dtype))
+                              jnp.asarray(factors[step - 1]
+                                          if step else 0.0, dtype))
         if (step + 1) % sync_every == 0 and step + 1 < n_steps:
             status = np.asarray(bufs["status"])      # blocks on the chunk
             _close_chunk(step + 1)
