@@ -363,6 +363,25 @@ def _device_ramp_step(model: FeaModel, cfg: FeaConfig, carry, bufs,
     return (active_new, u, anchored, fac), bufs
 
 
+def _device_ramp_chunk(model: FeaModel, cfg: FeaConfig, carry, bufs,
+                       steps, factors_c, prev_factors_c):
+    """``len(steps)`` ramp steps as ONE dispatched lax.scan program.
+    The body is _device_ramp_step verbatim (compiled once per chunk
+    LENGTH, not per step), so a 40-step ramp is 5 host dispatches
+    instead of 40 — the per-step dispatch overhead (~18 ms host-side at
+    103k nodes, vs 7.6 ms device compute; traced round 5) was most of
+    the async ramp's non-fetch wall time."""
+    def body(state, inp):
+        c, b = state
+        k, factor, prev_factor = inp
+        return _device_ramp_step(model, cfg, c, b, k, factor,
+                                 prev_factor), None
+
+    (carry, bufs), _ = jax.lax.scan(body, (carry, bufs),
+                                    (steps, factors_c, prev_factors_c))
+    return carry, bufs
+
+
 def run_ramp_async(coords, conn, cfg: FeaConfig,
                    model: Optional[FeaModel] = None,
                    sync_every: int = 8) -> RampResult:
@@ -422,9 +441,9 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
         status=jnp.zeros((n_steps, 4), dtype),
     )
 
-    # donate carry + buffers: every step updates them in place instead of
-    # allocating 40 copies of the ~70 MB record set
-    step_fn = jax.jit(_device_ramp_step, static_argnums=(1,),
+    # donate carry + buffers: every chunk updates them in place instead
+    # of allocating copies of the ~70 MB record set
+    chunk_fn = jax.jit(_device_ramp_chunk, static_argnums=(1,),
                       donate_argnums=(2, 3))
 
     factors = [s / (n_steps - 1) for s in range(n_steps)]
@@ -441,18 +460,22 @@ def run_ramp_async(coords, conn, cfg: FeaConfig,
             secs[chunk_lo:hi] = (now - chunk_t0) / (hi - chunk_lo)
         chunk_lo, chunk_t0 = hi, now
 
-    for step in range(n_steps):
-        carry, bufs = step_fn(model, cfg, carry, bufs,
-                              jnp.asarray(step, jnp.int32),
-                              jnp.asarray(factors[step], dtype),
-                              jnp.asarray(factors[step - 1]
-                                          if step else 0.0, dtype))
-        if (step + 1) % sync_every == 0 and step + 1 < n_steps:
+    lo = 0
+    while lo < n_steps:
+        hi = min(lo + sync_every, n_steps)
+        prevs = [factors[s - 1] if s else 0.0 for s in range(lo, hi)]
+        carry, bufs = chunk_fn(
+            model, cfg, carry, bufs,
+            jnp.arange(lo, hi, dtype=jnp.int32),
+            jnp.asarray(factors[lo:hi], dtype),
+            jnp.asarray(prevs, dtype))
+        lo = hi
+        if lo < n_steps:
             status = np.asarray(bufs["status"])      # blocks on the chunk
-            _close_chunk(step + 1)
-            _check_status(status, step + 1)
-            if status[step, 1] == 0:                 # fully fractured
-                stopped = step + 1
+            _close_chunk(lo)
+            _check_status(status, lo)
+            if status[lo - 1, 1] == 0:               # fully fractured
+                stopped = lo
                 break
     status = np.asarray(bufs["status"])
     last = min(stopped, n_steps)
