@@ -88,10 +88,20 @@ def run(names, t_steps: int | None = None, verbose: bool = False):
         # program, so a short-run warm-up would not precompile it (the
         # persistent cache makes this near-free on repeat invocations).
         # The chunked driver's program unit is one chunk_steps-scan, so a
-        # single-chunk run warms it fully — no need to execute all
-        # t_steps twice at ~1-3 s/step.
+        # single chunk warms it fully — but it must run with the IDENTICAL
+        # static cfg: cfg is a static jit argument, and a
+        # replace(cfg, t_steps=10) warm-up leaves the timed run's first
+        # chunk to re-trace/link the whole program (measured 64 s at
+        # xlarge with the anastomosis kernel in round 5 — 3x the rest of
+        # the run combined)
         if cfg.max_segments >= 1 << 20:
-            driver(dataclasses.replace(cfg, t_steps=10))
+            from ..growth import init_state
+            from ..growth.step import _scan_growth_chunk
+            from ..scenes import petri_dish
+            st_w, ea_w = init_state(cfg, petri_dish(cfg))
+            st_w, stats_w = _scan_growth_chunk(st_w, ea_w, cfg, 10)
+            jax.device_get(stats_w["segments"])      # sync the warm-up
+            del st_w
         else:
             driver(cfg)
         t0 = time.perf_counter()
