@@ -499,36 +499,57 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
                     emit(rows[:-1], cols[1:], v01[bslice][:-1])
                     emit(rows[1:], cols[:-1], v10[bslice][:-1])
 
-    # jump edges (positions ja/jb, sentinel N -> masked to zero)
+    # jump edges, assembled on the MXU: the old form scattered 36·n_basis²
+    # entries per jump — 0.5M scatter rows at 340k nodes (~6.5 ms of the
+    # 8.5 ms coarse build, ~18 ms extrapolated at 1M; round-5 phase
+    # profile). Instead: the jump stiffness block is the PSD sum
+    # kax·n nᵀ + kbd·(t1 t1ᵀ + t2 t2ᵀ) (orthonormal frame from the STATIC
+    # jump direction — the naive (kax−kbd) split is indefinite because
+    # kbd > kax at the reference's element slenderness), so the whole
+    # jump contribution is A_jump = Xᵀ X with one coarse incidence row
+    # per (jump, direction): X[j,d] has ±√coeff·w·d_kc at the two
+    # endpoint clusters. One (nc, 3J)·(3J, nc) MXU product replaces the
+    # scatter; Precision.HIGH keeps ~1e-6 relative accuracy (this matrix
+    # is inverted for a PC, and the banded chain part stays exact).
     jp = plan.ja.shape[0]
+    a_jump = None
     if jp:
         m_j = act_pad[plan.jump_elem].astype(f32)
         ja = jnp.minimum(plan.ja, npad - 1)
         jb = jnp.minimum(plan.jb, npad - 1)
         jok = (plan.ja < n) & (plan.jb < n)
         m_j = m_j * jok.astype(f32)
-        jn = [plan.jump_n[:, k] for k in range(3)]
-        jkd = (plan.jump_kax - plan.jump_kbd) * m_j
-        jkb = plan.jump_kbd * m_j
         cl_a = (ja // width).astype(jnp.int32)
         cl_b = (jb // width).astype(jnp.int32)
         wja = [f_pos[ja]] + ([f_pos[ja] * ramp_pos[ja]]
                              if n_basis == 2 else [])
         wjb = [f_pos[jb]] + ([f_pos[jb] * ramp_pos[jb]]
                              if n_basis == 2 else [])
-        for kc in range(3):
-            for kc2 in range(3):
-                k3j = jn[kc] * jn[kc2] * jkd
-                if kc == kc2:
-                    k3j = k3j + jkb
-                for fa in range(n_basis):
-                    for fb in range(n_basis):
-                        ra = fa * nc3 + kc * nbc
-                        rb = fb * nc3 + kc2 * nbc
-                        emit(ra + cl_a, rb + cl_a, wja[fa] * wja[fb] * k3j)
-                        emit(ra + cl_b, rb + cl_b, wjb[fa] * wjb[fb] * k3j)
-                        emit(ra + cl_a, rb + cl_b, -wja[fa] * wjb[fb] * k3j)
-                        emit(ra + cl_b, rb + cl_a, -wjb[fa] * wja[fb] * k3j)
+        nvec = plan.jump_n.astype(f32)                       # (J,3) unit
+        ref = jnp.where(jnp.abs(nvec[:, 2:3]) < 0.9,
+                        jnp.asarray([0.0, 0.0, 1.0], f32)[None],
+                        jnp.asarray([1.0, 0.0, 0.0], f32)[None])
+        t1 = jnp.cross(nvec, ref)
+        t1 = t1 / jnp.maximum(
+            jnp.linalg.norm(t1, axis=1, keepdims=True), 1e-20)
+        t2 = jnp.cross(nvec, t1)
+        ar = jnp.arange(nbc, dtype=jnp.int32)
+        Ca = (cl_a[:, None] == ar[None, :]).astype(f32)      # (J, nbc)
+        Cb = (cl_b[:, None] == ar[None, :]).astype(f32)
+        x_parts = []
+        for d, c in ((nvec, plan.jump_kax * m_j),
+                     (t1, plan.jump_kbd * m_j),
+                     (t2, plan.jump_kbd * m_j)):
+            s = jnp.sqrt(jnp.maximum(c, 0.0))
+            blocks = []
+            for fa in range(n_basis):
+                diff = ((s * wja[fa])[:, None] * Ca
+                        - (s * wjb[fa])[:, None] * Cb)       # (J, nbc)
+                for kc in range(3):
+                    blocks.append(d[:, kc:kc + 1] * diff)
+            x_parts.append(jnp.concatenate(blocks, axis=1))  # (J, nc)
+        x_inc = jnp.concatenate(x_parts, axis=0)             # (3J, nc)
+        a_jump = jnp.dot(x_inc.T, x_inc, precision=lax.Precision.HIGH)
 
     # reg·P per position: 2x2 basis block [1, r; r, r^2] per comp. NO
     # (I-P) identity term (see _coarse_matrix_scatter).
@@ -544,7 +565,8 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
     flat = jnp.zeros((nc * nc,), f32).at[
         jnp.concatenate(idx_parts)].add(
         jnp.concatenate([v.astype(f32) for v in val_parts]))
-    return flat.reshape(nc, nc)
+    a = flat.reshape(nc, nc)
+    return a + a_jump if a_jump is not None else a
 
 
 def _coarse_inverse(model, plan, active, free, cfg, nb, kblk: int = 1):
