@@ -693,12 +693,10 @@ def tree_factor_fast(plan: TreePlan, fast: FastFactorData, cplan,
         dg_l = -_mm(_mm(bl, Mff), jnp.swapaxes(bl, -1, -2))
         dg_r = -_mm(_mm(br, Mll), jnp.swapaxes(br, -1, -2))
         tgt = plan.att_tgt[p0:p1]
-        # ONE batched (9, P) scatter per side instead of 18 per-component
-        # scatters (each ~60 us dispatch on the tunneled v5e — the
-        # per-level Schur accumulation was a visible slice of the 1M-DOF
-        # factor time, round-5 phase profile)
-        dacc = dacc.at[:, tgt[:, 0]].add(dg_l.reshape(-1, 9).T)
-        dacc = dacc.at[:, tgt[:, 1]].add(dg_r.reshape(-1, 9).T)
+        for i in range(3):
+            for j in range(3):
+                dacc = dacc.at[3 * i + j, tgt[:, 0]].add(dg_l[:, i, j])
+                dacc = dacc.at[3 * i + j, tgt[:, 1]].add(dg_r[:, i, j])
         fb = -_mm(_mm(bl, Mfl), jnp.swapaxes(br, -1, -2))
         fb = fb * plan.has_fill[p0:p1, None, None]
         fill_B = fill_B.at[jnp.arange(p0, p1)].set(fb.reshape(-1, 9))
@@ -740,13 +738,8 @@ def tree_apply_chain_planes(plan: TreePlan, factor: TreeFactor, rp
     S_tot = plan.n_slots
     t0 = meta.level_offsets[L]
     dtype = rp[0].dtype
-    # all glue runs on STACKED (3, S+1) arrays: one gather/scatter per
-    # group instead of three (each extra op is ~60 us of dispatch on the
-    # tunneled v5e; the per-component glue was most of the 2.8 ms 1M-DOF
-    # PC apply outside the level kernels — round-5 phase profile). The 3
-    # axis is MAJOR, so no (8,128) minor-dim tiling pathology.
-    racc = jnp.stack([jnp.concatenate(
-        [p[:S_tot], jnp.zeros((1,), dtype)]) for p in rp])
+    zero1 = jnp.zeros((1,), dtype)
+    racc = tuple(jnp.concatenate([p[:S_tot], zero1]) for p in rp)
 
     packed = getattr(factor, "packed", ())
 
@@ -765,22 +758,25 @@ def tree_apply_chain_planes(plan: TreePlan, factor: TreeFactor, rp
     for li in range(L):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
-        y = _lvl_apply(li, s0, s1, tuple(racc[i, s0:s1] for i in range(3)))
+        y = _lvl_apply(li, s0, s1, tuple(p[s0:s1] for p in racc))
         ys.append(y)
         ab = factor.att_b[p0:p1]
         fg = plan.first_gpos[p0:p1] - s0
         lg = plan.last_gpos[p0:p1] - s0
         tgt = plan.att_tgt[p0:p1]
-        y3 = jnp.stack(y)                                       # (3, S_l)
-        v0 = _mv3(ab[:, 0], y3[:, fg].T)                        # (P, 3)
-        v1 = _mv3(ab[:, 1], y3[:, lg].T)
-        racc = racc.at[:, tgt[:, 0]].add(-v0.T) \
-                   .at[:, tgt[:, 1]].add(-v1.T)
+        y_f = jnp.stack([y[i][fg] for i in range(3)], axis=1)   # (P,3)
+        y_l = jnp.stack([y[i][lg] for i in range(3)], axis=1)
+        v0 = _mv3(ab[:, 0], y_f)
+        v1 = _mv3(ab[:, 1], y_l)
+        racc = tuple(racc[i].at[tgt[:, 0]].add(-v0[:, i])
+                     .at[tgt[:, 1]].add(-v1[:, i]) for i in range(3))
 
-    u_all = jnp.zeros((3, S_tot + 1), dtype)
+    u_all = tuple(jnp.zeros((S_tot + 1,), dtype) for _ in range(3))
     if S_tot > t0:
-        u_tail = _dense_tail_apply(factor, racc[:, t0:S_tot].T)
-        u_all = u_all.at[:, t0:S_tot].set(u_tail.T)
+        r_tail = jnp.stack([p[t0:S_tot] for p in racc], axis=1)
+        u_tail = _dense_tail_apply(factor, r_tail)
+        u_all = tuple(u_all[i].at[t0:S_tot].set(u_tail[:, i])
+                      for i in range(3))
     for li in range(L - 1, -1, -1):
         s0, s1 = meta.level_offsets[li], meta.level_offsets[li + 1]
         p0, p1 = meta.path_offsets[li], meta.path_offsets[li + 1]
@@ -788,14 +784,17 @@ def tree_apply_chain_planes(plan: TreePlan, factor: TreeFactor, rp
         fg = plan.first_gpos[p0:p1] - s0
         lg = plan.last_gpos[p0:p1] - s0
         tgt = plan.att_tgt[p0:p1]
-        z0 = _mtv3(ab[:, 0], u_all[:, tgt[:, 0]].T)
-        z1 = _mtv3(ab[:, 1], u_all[:, tgt[:, 1]].T)
-        z3 = jnp.zeros((3, s1 - s0), dtype) \
-            .at[:, fg].add(z0.T).at[:, lg].add(z1.T)
-        corr = _lvl_apply(li, s0, s1, tuple(z3[i] for i in range(3)))
-        u_all = u_all.at[:, s0:s1].set(
-            jnp.stack(ys[li]) - jnp.stack(corr))
-    return tuple(u_all[i, :S_tot] for i in range(3))
+        uj0 = jnp.stack([u_all[i][tgt[:, 0]] for i in range(3)], axis=1)
+        uj1 = jnp.stack([u_all[i][tgt[:, 1]] for i in range(3)], axis=1)
+        z0 = _mtv3(ab[:, 0], uj0)
+        z1 = _mtv3(ab[:, 1], uj1)
+        z = tuple(jnp.zeros((s1 - s0,), dtype)
+                  .at[fg].add(z0[:, i]).at[lg].add(z1[:, i])
+                  for i in range(3))
+        corr = _lvl_apply(li, s0, s1, z)
+        u_all = tuple(u_all[i].at[s0:s1].set(ys[li][i] - corr[i])
+                      for i in range(3))
+    return tuple(u_all[i][:S_tot] for i in range(3))
 
 
 def tree_factor(plan: TreePlan, active: jnp.ndarray,
