@@ -89,7 +89,6 @@ class JumpBuckets(NamedTuple):
     so no cross-order reorders are needed. Jumps beyond CAP in one
     block spill to a tiny plain gather/scatter list."""
     oh: jnp.ndarray       # (NB, CAP, BLOCK) one-hot of the own lane
-    own: jnp.ndarray      # (NB*CAP,) own-endpoint position (sentinel N)
     oth: jnp.ndarray      # (NB*CAP,) other-endpoint position (sentinel N)
     src: jnp.ndarray      # (NB*CAP,) original jump row (sentinel Jp)
     n: jnp.ndarray        # (NB*CAP, 3) jump direction (own -> outward
@@ -271,22 +270,20 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
         oh = np.zeros((NB, cap, BLOCK), dtype)
         oh[blk[main], slot[main], lane[main]] = 1.0
         rows = blk[main] * cap + slot[main]
-        own_p = np.full(NB * cap, n_nodes, np.int64)
         oth_p = np.full(NB * cap, n_nodes, np.int64)
         src_p = np.full(NB * cap, Jp, np.int64)
         n_p = np.zeros((NB * cap, 3), dtype)
         kax_p = np.zeros(NB * cap, dtype)
         kbd_p = np.zeros(NB * cap, dtype)
         jid = np.nonzero(main)[0]
-        own_p[rows] = own[main]
         oth_p[rows] = oth[main]
         src_p[rows] = jid
         n_p[rows] = geom_n[jump_ids][main]
         kax_p[rows] = k_ax[jump_ids][main]
         kbd_p[rows] = k_bd[jump_ids][main]
         spill = np.nonzero(~main)[0].astype(np.int64)
-        return dict(oh=oh, own=own_p, oth=oth_p, src=src_p, n=n_p,
-                    kax=kax_p, kbd=kbd_p, spill=spill)
+        return dict(oh=oh, oth=oth_p, src=src_p, n=n_p, kax=kax_p,
+                    kbd=kbd_p, spill=spill)
 
     jbkt_np = None
     if not with_onehots and J:
@@ -308,8 +305,7 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
     jbkt = None
     if jbkt_np is not None:
         jbkt = tuple(JumpBuckets(
-            oh=as_j(s["oh"]), own=as_j(s["own"], np.int32),
-            oth=as_j(s["oth"], np.int32),
+            oh=as_j(s["oh"]), oth=as_j(s["oth"], np.int32),
             src=as_j(s["src"], np.int32), n=as_j(s["n"]),
             kax=as_j(s["kax"]), kbd=as_j(s["kbd"]),
             spill=as_j(s["spill"], np.int32)) for s in jbkt_np)
@@ -378,17 +374,16 @@ def chain_apply(plan: ChainPlan, chain_act, jump_act, u_perm):
         hi = lax.Precision.HIGHEST
         u_pad = jnp.concatenate(
             [u_perm, jnp.zeros((1, W), u_perm.dtype)], axis=0)
+        ub = jnp.pad(u_perm, ((0, npad - N), (0, 0))).reshape(
+            NB, BLOCK, W)
         jact_pad = jnp.concatenate(
             [jump_act, jnp.zeros((1,), jump_act.dtype)])
 
         def side(kb):
-            # plain row gathers for BOTH endpoints (cheap: ~0.2 ms at
-            # J=42k); only the accumulation runs as the one-hot einsum —
-            # an einsum GATHER reads u as (NB, 128, 3) whose minor dim 3
-            # triggers the (8,128) tiling relayouts (measured: it made
-            # the matvec slower than the scatter it replaced)
             cap = kb.oh.shape[1]
-            d = u_pad[kb.own] - u_pad[kb.oth]
+            u_own = jnp.einsum('bcl,blk->bck', kb.oh, ub,
+                               precision=hi).reshape(NB * cap, W)
+            d = u_own - u_pad[kb.oth]
             nd = jnp.sum(kb.n * d, axis=1)
             f = (kb.kax * nd)[:, None] * kb.n \
                 + kb.kbd[:, None] * (d - nd[:, None] * kb.n)
