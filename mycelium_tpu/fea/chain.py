@@ -61,14 +61,6 @@ class ChainPlan(NamedTuple):
     a_lane: jnp.ndarray        # (J, BLOCK) one-hot within the block
     b_blk: jnp.ndarray         # (J, NB)
     b_lane: jnp.ndarray        # (J, BLOCK)
-    jbkt: object = None        # Optional[JumpBuckets] — huge-mesh jump
-                               # layout: per-128-block bucketed one-hots
-                               # so the per-iteration jump gather AND
-                               # scatter-add run as batched MXU einsums
-                               # (a J-row scatter-add costs ~0.7 ms at
-                               # J=14k / 2.9 ms at J=42k on v5e — the
-                               # single most expensive op class in the
-                               # 1M-DOF CG iteration, round-5 probe)
 
     @property
     def n_padded(self) -> int:
@@ -76,26 +68,6 @@ class ChainPlan(NamedTuple):
             return self.a_blk.shape[1] * BLOCK
         n = self.perm.shape[0]
         return ((n + BLOCK - 1) // BLOCK) * BLOCK
-
-
-class JumpBuckets(NamedTuple):
-    """Block-bucketed jump layout (one per endpoint side). Jumps are
-    sorted by their OWN endpoint's 128-node block; slot (b, c) of the
-    padded (NB, CAP) table holds one jump whose own endpoint lies in
-    block b. Selection and accumulation against the own endpoint are
-    then batched (NB, CAP, 128) one-hot einsums (exact: 0/1 entries,
-    Precision.HIGHEST), and each endpoint receives
-    M_j (u_own - u_other) — the symmetric per-endpoint assembly rule —
-    so no cross-order reorders are needed. Jumps beyond CAP in one
-    block spill to a tiny plain gather/scatter list."""
-    oh: jnp.ndarray       # (NB, CAP, BLOCK) one-hot of the own lane
-    oth: jnp.ndarray      # (NB*CAP,) other-endpoint position (sentinel N)
-    src: jnp.ndarray      # (NB*CAP,) original jump row (sentinel Jp)
-    n: jnp.ndarray        # (NB*CAP, 3) jump direction (own -> outward
-                          # sign folded by the caller's symmetric rule)
-    kax: jnp.ndarray      # (NB*CAP,)
-    kbd: jnp.ndarray      # (NB*CAP,)
-    spill: jnp.ndarray    # (S,) int32 original rows not bucketed
 
 
 # past this many one-hot entries per (J, NB) table the jump part of the
@@ -254,43 +226,6 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
     if J:
         ja_pad[:J] = ja
         jb_pad[:J] = jb
-
-    def bucket_side(own, oth):
-        """Host build of one JumpBuckets side (see class docstring)."""
-        blk = own // BLOCK
-        lane = own % BLOCK
-        cnt = np.bincount(blk, minlength=NB)
-        cap = int(min(64, max(8, -(-int(cnt.max()) // 8) * 8)))
-        order = np.argsort(blk, kind="stable")
-        ofs = np.zeros(NB + 1, np.int64)
-        np.cumsum(cnt, out=ofs[1:])
-        slot = np.empty(J, np.int64)
-        slot[order] = np.arange(J) - ofs[blk[order]]
-        main = slot < cap
-        oh = np.zeros((NB, cap, BLOCK), dtype)
-        oh[blk[main], slot[main], lane[main]] = 1.0
-        rows = blk[main] * cap + slot[main]
-        oth_p = np.full(NB * cap, n_nodes, np.int64)
-        src_p = np.full(NB * cap, Jp, np.int64)
-        n_p = np.zeros((NB * cap, 3), dtype)
-        kax_p = np.zeros(NB * cap, dtype)
-        kbd_p = np.zeros(NB * cap, dtype)
-        jid = np.nonzero(main)[0]
-        oth_p[rows] = oth[main]
-        src_p[rows] = jid
-        n_p[rows] = geom_n[jump_ids][main]
-        kax_p[rows] = k_ax[jump_ids][main]
-        kbd_p[rows] = k_bd[jump_ids][main]
-        spill = np.nonzero(~main)[0].astype(np.int64)
-        return dict(oh=oh, oth=oth_p, src=src_p, n=n_p, kax=kax_p,
-                    kbd=kbd_p, spill=spill)
-
-    jbkt_np = None
-    if not with_onehots and J:
-        # huge-mesh jump layout: both endpoint sides bucketed by their
-        # own 128-node block (each endpoint receives M_j (u_own - u_oth),
-        # so the two sides never need a cross-order reorder)
-        jbkt_np = (bucket_side(ja, jb), bucket_side(jb, ja))
     if host_out is not None:
         host_out.update(
             perm=perm, inv_perm=inv, chain_n=chain_n, chain_kax=chain_kax,
@@ -302,13 +237,6 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
     # a same-dtype asarray is a pure device transfer
     as_j = lambda x, dt=dtype: jnp.asarray(np.asarray(x, dt))   # noqa: E731
     opt = lambda x: as_j(x) if x is not None else None          # noqa: E731
-    jbkt = None
-    if jbkt_np is not None:
-        jbkt = tuple(JumpBuckets(
-            oh=as_j(s["oh"]), oth=as_j(s["oth"], np.int32),
-            src=as_j(s["src"], np.int32), n=as_j(s["n"]),
-            kax=as_j(s["kax"]), kbd=as_j(s["kbd"]),
-            spill=as_j(s["spill"], np.int32)) for s in jbkt_np)
     return ChainPlan(
         perm=as_j(perm, np.int32),
         inv_perm=as_j(inv, np.int32),
@@ -320,7 +248,6 @@ def build_chain_plan(coords: np.ndarray, conn: np.ndarray,
         ja=as_j(ja_pad, np.int32), jb=as_j(jb_pad, np.int32),
         a_blk=opt(a_blk), a_lane=opt(a_lane),
         b_blk=opt(b_blk), b_lane=opt(b_lane),
-        jbkt=jbkt,
     )
 
 
@@ -359,57 +286,10 @@ def chain_apply(plan: ChainPlan, chain_act, jump_act, u_perm):
     # slot i contributes +f to node i, -f to node i+1
     out = jnp.stack([f[k] - _shift_down(f[k]) for k in range(W)], axis=1)
 
-    if plan.a_blk is None and plan.jbkt is not None:
-        # ---- jump part, huge-mesh variant: block-bucketed one-hot
-        # einsums. The J-row scatter-adds of the plain gather/scatter
-        # variant are the most expensive op class in the 1M-DOF CG
-        # iteration (0.7 ms at J=14k, 2.9 ms at J=42k — round-5 probe);
-        # each endpoint side accumulates M_j (u_own - u_other) against
-        # its OWN block's 128 lanes via a batched (NB, CAP, 128) one-hot
-        # product (exact selection: Precision.HIGHEST) — no scatter op,
-        # no cross-order reorder. ----
-        N = u_perm.shape[0]
-        NB = (N + BLOCK - 1) // BLOCK
-        npad = NB * BLOCK
-        hi = lax.Precision.HIGHEST
-        u_pad = jnp.concatenate(
-            [u_perm, jnp.zeros((1, W), u_perm.dtype)], axis=0)
-        ub = jnp.pad(u_perm, ((0, npad - N), (0, 0))).reshape(
-            NB, BLOCK, W)
-        jact_pad = jnp.concatenate(
-            [jump_act, jnp.zeros((1,), jump_act.dtype)])
-
-        def side(kb):
-            cap = kb.oh.shape[1]
-            u_own = jnp.einsum('bcl,blk->bck', kb.oh, ub,
-                               precision=hi).reshape(NB * cap, W)
-            d = u_own - u_pad[kb.oth]
-            nd = jnp.sum(kb.n * d, axis=1)
-            f = (kb.kax * nd)[:, None] * kb.n \
-                + kb.kbd[:, None] * (d - nd[:, None] * kb.n)
-            f = f * jact_pad[kb.src][:, None]
-            return jnp.einsum('bcl,bck->blk', kb.oh,
-                              f.reshape(NB, cap, W), precision=hi)
-
-        acc = side(plan.jbkt[0]) + side(plan.jbkt[1])
-        out = out + acc.reshape(npad, W)[:N]
-        for kb, own_idx, oth_idx in (
-                (plan.jbkt[0], plan.ja, plan.jb),
-                (plan.jbkt[1], plan.jb, plan.ja)):
-            if kb.spill.shape[0]:
-                s = kb.spill
-                dj = u_pad[own_idx[s]] - u_pad[oth_idx[s]]
-                ndj = jnp.sum(plan.jump_n[s] * dj, axis=1)
-                fj = (plan.jump_kax[s] * ndj)[:, None] * plan.jump_n[s] \
-                    + plan.jump_kbd[s][:, None] * (
-                        dj - ndj[:, None] * plan.jump_n[s])
-                fj = fj * jump_act[s][:, None]
-                out = out.at[own_idx[s]].add(fj, mode="drop")
-        return out
-
     if plan.a_blk is None:
-        # ---- jump part, gather/scatter fallback (J == 0 builds no
-        # buckets; kept as the simplest correct form) ----
+        # ---- jump part, huge-mesh variant: J-row gather/scatter ----
+        # (the (J, NB) one-hot tables would be gigabytes; J-row gathers
+        # cost ~10 ns/element — a few ms at 1e5 jumps)
         u_pad = jnp.concatenate(
             [u_perm, jnp.zeros((1, W), u_perm.dtype)], axis=0)
         dj = u_pad[plan.ja] - u_pad[plan.jb]
