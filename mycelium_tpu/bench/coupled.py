@@ -52,10 +52,19 @@ def run(preset: str = "medium", fea_steps: int = 40):
     # warm-up runs the SAME program (scan length is baked into the XLA
     # program, so a short-run warm-up would not precompile it); the
     # persistent cache makes this near-free on repeat invocations.
-    # The chunked driver's program unit is one chunk, so one chunk warms it.
+    # The chunked driver's program unit is one chunk, so one chunk warms
+    # it — run with the IDENTICAL static cfg (a replace(cfg, t_steps=10)
+    # warm-up leaves the timed run's first chunk to re-trace the whole
+    # program: 64 s at xlarge, round-5 growth_scale fix)
     if gcfg.max_segments >= 1 << 20:
-        import dataclasses
-        grow_fn(dataclasses.replace(gcfg, t_steps=10))
+        from ..growth import init_state
+        from ..growth.step import _scan_growth_chunk
+        from ..scenes import petri_dish
+        import jax
+        st_w, ea_w = init_state(gcfg, petri_dish(gcfg))
+        st_w, stats_w = _scan_growth_chunk(st_w, ea_w, gcfg, 10)
+        jax.device_get(stats_w["segments"])
+        del st_w
     else:
         grow_fn(gcfg)
     t0 = time.perf_counter()
@@ -79,21 +88,24 @@ def run(preset: str = "medium", fea_steps: int = 40):
     model = build_model(coords, conn, fcfg)
     t_plan = time.perf_counter() - t0
     _note(f"model build done in {t_plan:.1f} s")
-    # same-program compile warm-up as the growth stage. Hybrid large-mesh
-    # models run the Python-loop driver whose jitted step program does not
-    # bake in n_steps — a 2-step ramp warms it without paying the full
-    # 40 x ~1 s solve cost twice.
-    if getattr(model, "tree_packed_big", None) is not None \
-            or model.n_nodes > (1 << 18):
-        import dataclasses
-        run_ramp_scan(coords, conn,
-                      dataclasses.replace(fcfg, n_steps=2), model=model)
+    # same-program compile warm-up as the growth stage. Large meshes run
+    # the async driver (device-resident records, scan-chunk dispatch —
+    # the production bench driver, bench.py ramp leg); its chunk program
+    # bakes the record-buffer shapes, so the warm-up runs the FULL ramp
+    # once (the persistent cache makes repeats near-free).
+    big = (getattr(model, "tree_packed_big", None) is not None
+           or model.n_nodes > (1 << 18))
+    if big:
+        from ..fea.ramp import run_ramp_async
+        ramp_fn = lambda: run_ramp_async(coords, conn, fcfg,  # noqa: E731
+                                         model=model)
     else:
-        run_ramp_scan(coords, conn, fcfg, model=model)
+        ramp_fn = lambda: run_ramp_scan(coords, conn, fcfg,  # noqa: E731
+                                        model=model)
+    ramp_fn()
     _note("ramp warm-up done")
     t0 = time.perf_counter()
-    res = truncate_after_fracture(run_ramp_scan(coords, conn, fcfg,
-                                                model=model))
+    res = truncate_after_fracture(ramp_fn())
     t_fea = time.perf_counter() - t0
     wall = t_growth + t_export + t_plan + t_fea
 
