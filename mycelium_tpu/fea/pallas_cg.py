@@ -47,6 +47,13 @@ from .solve import SolveResult
 
 JUMP_CHUNK = 1024
 
+# entry budget of the MXU coarse jump assembly's dense (3J·n_basis, nc)
+# incidence (f32: 2^28 entries = ~1 GB transient); bigger jump sets fall
+# back to the 36-entries-per-jump scatter assembly (see
+# _coarse_matrix_chain — the xlarge coupled mesh's 488k jumps built a
+# 7.9 GB X inside the ramp's factor recompute and OOM'd the HBM)
+COARSE_MXU_CAP = 1 << 28
+
 
 class PackedChainData(NamedTuple):
     """Static stacked-plane tables (built once per mesh).
@@ -499,10 +506,10 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
                     emit(rows[:-1], cols[1:], v01[bslice][:-1])
                     emit(rows[1:], cols[:-1], v10[bslice][:-1])
 
-    # jump edges, assembled on the MXU: the old form scattered 36·n_basis²
-    # entries per jump — 0.5M scatter rows at 340k nodes (~6.5 ms of the
-    # 8.5 ms coarse build, ~18 ms extrapolated at 1M; round-5 phase
-    # profile). Instead: the jump stiffness block is the PSD sum
+    # jump edges, assembled on the MXU when the incidence fits: the old
+    # form scattered 36·n_basis² entries per jump — 0.5M scatter rows at
+    # 340k nodes (~6.5 ms of the 8.5 ms coarse build; round-5 phase
+    # profile). The jump stiffness block is the PSD sum
     # kax·n nᵀ + kbd·(t1 t1ᵀ + t2 t2ᵀ) (orthonormal frame from the STATIC
     # jump direction — the naive (kax−kbd) split is indefinite because
     # kbd > kax at the reference's element slenderness), so the whole
@@ -511,8 +518,14 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
     # endpoint clusters. One (nc, 3J)·(3J, nc) MXU product replaces the
     # scatter; Precision.HIGH keeps ~1e-6 relative accuracy (this matrix
     # is inverted for a PC, and the banded chain part stays exact).
+    # GATE: X is dense (3J·n_basis, nc) — real exported meshes are
+    # anastomosis-heavy (the xlarge coupled mesh has 488k jumps, 16% of
+    # edges, where the synthetic bench meshes have 4%) and X reached
+    # 7.9 GB inside the ramp's factor recompute — HBM OOM at 2.97M DOF.
+    # Past the entry budget the original scatter assembly runs instead.
     jp = plan.ja.shape[0]
     a_jump = None
+    use_mxu_jumps = jp and (3 * jp * n_basis * nc) <= COARSE_MXU_CAP
     if jp:
         m_j = act_pad[plan.jump_elem].astype(f32)
         ja = jnp.minimum(plan.ja, npad - 1)
@@ -525,6 +538,7 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
                              if n_basis == 2 else [])
         wjb = [f_pos[jb]] + ([f_pos[jb] * ramp_pos[jb]]
                              if n_basis == 2 else [])
+    if use_mxu_jumps:
         nvec = plan.jump_n.astype(f32)                       # (J,3) unit
         ref = jnp.where(jnp.abs(nvec[:, 2:3]) < 0.9,
                         jnp.asarray([0.0, 0.0, 1.0], f32)[None],
@@ -550,6 +564,27 @@ def _coarse_matrix_chain(model, plan, active, free, cfg, nb,
             x_parts.append(jnp.concatenate(blocks, axis=1))  # (J, nc)
         x_inc = jnp.concatenate(x_parts, axis=0)             # (3J, nc)
         a_jump = jnp.dot(x_inc.T, x_inc, precision=lax.Precision.HIGH)
+    elif jp:
+        jn = [plan.jump_n[:, k] for k in range(3)]
+        jkd = (plan.jump_kax - plan.jump_kbd) * m_j
+        jkb = plan.jump_kbd * m_j
+        for kc in range(3):
+            for kc2 in range(3):
+                k3j = jn[kc] * jn[kc2] * jkd
+                if kc == kc2:
+                    k3j = k3j + jkb
+                for fa in range(n_basis):
+                    for fb in range(n_basis):
+                        ra = fa * nc3 + kc * nbc
+                        rb = fb * nc3 + kc2 * nbc
+                        emit(ra + cl_a, rb + cl_a,
+                             wja[fa] * wja[fb] * k3j)
+                        emit(ra + cl_b, rb + cl_b,
+                             wjb[fa] * wjb[fb] * k3j)
+                        emit(ra + cl_a, rb + cl_b,
+                             -wja[fa] * wjb[fb] * k3j)
+                        emit(ra + cl_b, rb + cl_a,
+                             -wjb[fa] * wja[fb] * k3j)
 
     # reg·P per position: 2x2 basis block [1, r; r, r^2] per comp. NO
     # (I-P) identity term (see _coarse_matrix_scatter).

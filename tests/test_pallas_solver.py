@@ -215,3 +215,30 @@ def test_coarse_matrix_chain_matches_scatter(growth_mesh, kblk, basis,
     scale = max(np.abs(a_sc).max(), 1e-30)
     np.testing.assert_allclose(a_ch, a_sc, rtol=2e-5,
                                atol=2e-5 * scale)
+
+
+def test_coarse_matrix_scatter_fallback_matches_mxu(growth_mesh):
+    """Past COARSE_MXU_CAP the jump block of the coarse assembly falls
+    back to the 36-entries-per-jump scatter (the MXU incidence X reached
+    7.9 GB on the 488k-jump xlarge coupled mesh — HBM OOM found in
+    round 5); both branches must build the same matrix."""
+    import mycelium_tpu.fea.pallas_cg as pcg_mod
+    from mycelium_tpu.fea.pallas_cg import _coarse_matrix_chain, plan_nb
+    coords, conn = growth_mesh
+    cfg = FeaConfig(dtype="float64", operator="chain", use_pallas=False)
+    model = build_model(coords, conn, cfg)
+    rng = np.random.default_rng(11)
+    active = jnp.asarray(rng.random(model.n_elems) > 0.2)
+    free = model.free_nodes
+    nb = plan_nb(model.n_nodes)
+    a_mxu = np.asarray(_coarse_matrix_chain(model, model.chain, active,
+                                            free, cfg, nb, 1))
+    old_cap = pcg_mod.COARSE_MXU_CAP
+    try:
+        pcg_mod.COARSE_MXU_CAP = 0
+        a_sc = np.asarray(_coarse_matrix_chain(model, model.chain, active,
+                                               free, cfg, nb, 1))
+    finally:
+        pcg_mod.COARSE_MXU_CAP = old_cap
+    scale = max(np.abs(a_sc).max(), 1e-30)
+    np.testing.assert_allclose(a_mxu, a_sc, rtol=2e-5, atol=2e-5 * scale)
