@@ -56,32 +56,65 @@ def translocate(st: GrowthState, cfg: GrowthConfig) -> GrowthState:
     """Diffusive exchange between predecessor and successor segments,
     clamped so both stay in [0, M_cap] (mycelium_sim_2D.py:275-310). The
     clamp adjusts the transferred delta itself, testing bounds in the
-    reference's elif order."""
+    reference's elif order.
+
+    OCCUPANCY-BOUNDED: slots are allocated densely in [0, n_seg), so
+    the per-row work (the packed (rows, 2) gather, the elif algebra and
+    the pred scatter) runs in 2^16-row chunks inside a while_loop with
+    a trip count from n_seg — the full-capacity form cost ~31 ms/step
+    of the ~150 ms xlarge step regardless of how few slots were live
+    (round-5 profile; capacity 2^21, occupancy 10-50%). Bit-identical:
+    every read uses the ORIGINAL sub, each slot receives at most one
+    +delta (itself) and one -delta (its unique extension child), and
+    the clamp applies once at the end, exactly as before."""
     m_cap = jnp.asarray(cfg.m_cap, st.sub.dtype)
-    L = st.length()
-    valid = (st.prev >= 0) & (st.state != EMPTY)
-    p = jnp.maximum(st.prev, 0)
-    # one packed gather instead of two: per-row gathers cost ~4-25 ns/row
-    # REGARDLESS of row width, so (N,2) rows halve the dominant cost of
-    # this op at the 2^21-slot xlarge preset (measured 121 ms/step)
-    lp_sub = jnp.stack([L, st.sub], axis=1)[p]
-    lp = lp_sub[:, 0]
-    denom = (L + lp) / 2.0
-    ok = valid & (denom > 0)
-    denom_safe = jnp.where(denom > 0, denom, 1.0)
-    sub_p = lp_sub[:, 1]
-    delta = cfg.dt * cfg.diffusion * (sub_p - st.sub) / denom_safe
-    new_s = st.sub + delta
-    new_p = sub_p - delta
-    # reference's elif chain (order matters):
-    delta_adj = jnp.where(
-        new_s < 0, -st.sub,
-        jnp.where(new_s > m_cap, m_cap - st.sub,
-                  jnp.where(new_p < 0, sub_p,
-                            jnp.where(new_p > m_cap, m_cap - sub_p, delta))))
-    delta_adj = jnp.where(ok, delta_adj, 0.0)
-    sub = st.sub + delta_adj
-    sub = sub.at[p].add(jnp.where(ok, -delta_adj, 0.0))
+    N = st.capacity
+    C = min(1 << 16, N)
+    n_ch = (st.n_seg + C - 1) // C
+    scale = jnp.asarray(cfg.dt * cfg.diffusion, st.sub.dtype)
+
+    # packed (L, sub) source for the pred gather (full-capacity
+    # ELEMENTWISE build is cheap; only the per-ROW ops are chunked)
+    L_full = st.length()
+    packed = jnp.stack([L_full, st.sub], axis=1)
+    dsl = jax.lax.dynamic_slice_in_dim
+    dus = jax.lax.dynamic_update_slice_in_dim
+
+    def body(carry):
+        ci, acc = carry
+        s0 = ci * C
+        prev_c = dsl(st.prev, s0, C, axis=0)
+        state_c = dsl(st.state, s0, C, axis=0)
+        sub_c = dsl(st.sub, s0, C, axis=0)
+        L_c = dsl(L_full, s0, C, axis=0)
+        valid = (prev_c >= 0) & (state_c != EMPTY)
+        p = jnp.maximum(prev_c, 0)
+        lp_sub = packed[p]                   # ONE C-row gather
+        lp = lp_sub[:, 0]
+        denom = (L_c + lp) / 2.0
+        ok = valid & (denom > 0)
+        denom_safe = jnp.where(denom > 0, denom, 1.0)
+        sub_p = lp_sub[:, 1]
+        delta = scale * (sub_p - sub_c) / denom_safe
+        new_s = sub_c + delta
+        new_p = sub_p - delta
+        # reference's elif chain (order matters):
+        delta_adj = jnp.where(
+            new_s < 0, -sub_c,
+            jnp.where(new_s > m_cap, m_cap - sub_c,
+                      jnp.where(new_p < 0, sub_p,
+                                jnp.where(new_p > m_cap, m_cap - sub_p,
+                                          delta))))
+        delta_adj = jnp.where(ok, delta_adj, 0.0)
+        # self part: read-modify-write of the chunk window (additive —
+        # preserves pred contributions other chunks already landed here)
+        acc = dus(acc, dsl(acc, s0, C, axis=0) + delta_adj, s0,
+                  axis=0)
+        acc = acc.at[p].add(jnp.where(ok, -delta_adj, 0.0))
+        return ci + 1, acc
+
+    _, sub = jax.lax.while_loop(lambda c: c[0] < n_ch, body,
+                                (jnp.asarray(0, st.n_seg.dtype), st.sub))
     sub = jnp.clip(sub, 0.0, m_cap)
     return st._replace(sub=sub)
 
