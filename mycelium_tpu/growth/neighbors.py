@@ -478,9 +478,15 @@ def detect_anastomosis(st: GrowthState, cfg: GrowthConfig,
             want_pos=True)                                    # seg slots
         tslot = tip_tbl.reshape(g, g, gz, Ct) \
             .transpose(3, 2, 0, 1).reshape(GT, g, g)
-        end_pad = jnp.concatenate([st.end, jnp.zeros((1, 3), dtype)],
-                                  axis=0)
-        tip_flat = end_pad[jnp.minimum(tslot, N)]             # (GT,g,g,3)
+        # tip geometry table by ONE H-row scatter through tip_pos instead
+        # of gathering end_pad at every table cell — the (GT·g·g)-row
+        # gather was ~2M rows for ~155k live tips at xlarge (~15-20 ms of
+        # the 65 ms anastomose step, round-5 piece profile). Empty table
+        # slots stay zero exactly like end_pad's sentinel row did.
+        tbl3 = jnp.zeros((m_cells * Ct + 1, 3), dtype) \
+            .at[tip_pos].set(tip_end, mode="drop")
+        tip_flat = tbl3[:m_cells * Ct].reshape(g, g, gz, Ct, 3) \
+            .transpose(3, 2, 0, 1, 4).reshape(GT, g, g, 3)
         tpp = [tip_flat[..., k] for k in range(3)]            # (GT,g,g)
 
         use_kernel = (use_inc and corner_window and gz == 1
