@@ -54,9 +54,9 @@ def main():
     steps = 120
     reps = 8
     for a in sys.argv[1:]:
-        if a.startswith("--steps"):
+        if a.startswith("--steps="):
             steps = int(a.split("=")[1])
-        if a.startswith("--reps"):
+        if a.startswith("--reps="):
             reps = int(a.split("=")[1])
     enable_compilation_cache()
     cfg = dataclasses.replace(PRESETS[name], t_steps=steps)
